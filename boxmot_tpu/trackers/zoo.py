@@ -1,0 +1,57 @@
+"""Tracker registry — mirror of boxmot/trackers/tracker_zoo.py:14-148.
+
+Maps tracker names to classes and builds configured instances.  Config
+resolution order: built-in defaults < per-tracker config dict < kwargs.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+TRACKER_MAPPING = {
+    "bytetrack": "boxmot_tpu.trackers.bytetrack.ByteTrack",
+    "ocsort": "boxmot_tpu.trackers.ocsort.OcSort",
+    "botsort": "boxmot_tpu.trackers.botsort.BotSort",
+}
+
+# Trackers that consume appearance embeddings (tracker_zoo.py:12).
+REID_TRACKERS = {"botsort", "deepocsort", "strongsort", "boosttrack", "occluboost", "hybridsort"}
+
+
+def get_tracker_class(name: str):
+    try:
+        path = TRACKER_MAPPING[name]
+    except KeyError:
+        raise ValueError(
+            f"Unknown tracker {name!r}; available: {sorted(TRACKER_MAPPING)}"
+        ) from None
+    module, cls = path.rsplit(".", 1)
+    return getattr(importlib.import_module(module), cls)
+
+
+def create_tracker(
+    tracker_type: str,
+    tracker_config: dict | None = None,
+    reid_weights=None,
+    device=None,
+    half: bool = False,
+    per_class: bool = False,
+    evolve_param_dict: dict | None = None,
+    **kwargs,
+):
+    """Build a tracker instance by name.
+
+    Signature parity with reference create_tracker (tracker_zoo.py:33-148);
+    reid_weights/device/half are accepted for API compatibility — ReID
+    model wiring lands with the appearance trackers.
+    """
+    cls = get_tracker_class(tracker_type)
+    params = dict(tracker_config or {})
+    if evolve_param_dict:
+        params.update(evolve_param_dict)
+    params.update(kwargs)
+    params["per_class"] = per_class
+    return cls(**params)
+
+
+TRACKER_REGISTRY = TRACKER_MAPPING
