@@ -1,0 +1,105 @@
+"""Benchmark: batched ByteTrack replay throughput on TPU vs CPU baseline.
+
+Workload mirrors the reference FPS harness conventions
+(tests/performance/benchmark_fps.py: synthetic detections on a
+1080x1920 frame, pure tracker-update throughput at ~100 detections per
+frame).  The TPU path runs S sequences in lockstep with lax.scan over
+the jitted step (the same code path the eval replay uses); the baseline
+is a faithful vectorized-numpy ByteTrack (reference-style per-track
+objects + exact assignment) on this host's CPU.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": fps, "unit": "frames/s", "vs_baseline": ratio}
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+N_DETS = 100
+N_SEQS = 8
+N_FRAMES = 256
+CAPACITY = 256
+BASELINE_FRAMES = 60
+
+
+def synthetic_frames(n_frames, n_dets, seed=0):
+    """Random-walk boxes on a 1080x1920 frame, reference-style."""
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(0, [1820, 880], (n_dets, 2))
+    vel = rng.uniform(-3, 3, (n_dets, 2))
+    size = rng.uniform(40, 120, (n_dets, 2))
+    frames = []
+    for f in range(n_frames):
+        p = np.clip(pos + vel * f, 0, [1820, 980])
+        conf = rng.uniform(0.5, 0.99, n_dets)
+        dets = np.concatenate(
+            [p, p + size, conf[:, None], np.zeros((n_dets, 1))], axis=1
+        ).astype(np.float32)
+        frames.append(dets)
+    return frames
+
+
+def bench_tpu():
+    import jax
+
+    from boxmot_tpu.engine.replay import batch_replay, init_states, pack_frames
+    from boxmot_tpu.trackers.bytetrack import ByteTrackConfig
+
+    cfg = ByteTrackConfig(capacity=CAPACITY)
+    packed = []
+    for s in range(N_SEQS):
+        frames = synthetic_frames(N_FRAMES, N_DETS, seed=s)
+        arr, _ = pack_frames(frames, D=128, F=N_FRAMES)
+        packed.append(arr)
+    dets_batch = jax.numpy.asarray(np.stack(packed))
+    states = init_states(cfg, N_SEQS)
+
+    # Warm-up / compile.
+    out = batch_replay(cfg, states, dets_batch)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    n_rep = 3
+    for _ in range(n_rep):
+        out = batch_replay(cfg, states, dets_batch)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_rep
+    return N_SEQS * N_FRAMES / dt
+
+
+def bench_cpu_baseline():
+    from tests.oracle.bytetrack_np import ByteTrackOracle
+
+    frames = synthetic_frames(BASELINE_FRAMES, N_DETS, seed=0)
+    orc = ByteTrackOracle()
+    orc.update(frames[0])  # warm caches
+    t0 = time.perf_counter()
+    for dets in frames[1:]:
+        orc.update(dets)
+    dt = time.perf_counter() - t0
+    return (BASELINE_FRAMES - 1) / dt
+
+
+def main():
+    fps = bench_tpu()
+    base = bench_cpu_baseline()
+    print(
+        json.dumps(
+            {
+                "metric": f"bytetrack_replay_fps_{N_DETS}dets",
+                "value": round(fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / base, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Benchmark evaluation workflow: replay cached dets -> MOT txt -> metrics.
+
+Mirror of the reference run_eval orchestration
+(boxmot/engine/eval/evaluator.py:307-409) with the TPU-native replay:
+sequences are scanned on device (engine/replay.py) and metrics are
+computed natively (engine/metrics/mot_metrics.py) instead of shelling
+out to the trackeval package.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from boxmot_tpu.data.mot import MOTDataset
+from boxmot_tpu.engine.metrics.mot_metrics import (
+    evaluate_sequences,
+    preprocess_sequence,
+)
+from boxmot_tpu.engine.mot_io import write_mot_results
+from boxmot_tpu.engine.replay import replay_sequence
+from boxmot_tpu.trackers.bytetrack import ByteTrackConfig
+
+_TRACKER_CONFIGS = {
+    "bytetrack": ByteTrackConfig,
+}
+
+
+def build_replay_config(tracker_type: str, **params):
+    try:
+        cfg_cls = _TRACKER_CONFIGS[tracker_type]
+    except KeyError:
+        raise ValueError(
+            f"No replay config for tracker {tracker_type!r}; "
+            f"available: {sorted(_TRACKER_CONFIGS)}"
+        ) from None
+    fields = {f for f in cfg_cls.__dataclass_fields__}
+    return cfg_cls(**{k: v for k, v in params.items() if k in fields})
+
+
+def run_eval(
+    data_root: Path,
+    tracker_type: str = "bytetrack",
+    tracker_params: dict | None = None,
+    output_dir: Path | None = None,
+    min_det_conf: float | None = None,
+    verbose: bool = False,
+) -> dict:
+    """Evaluate a tracker over all sequences under data_root.
+
+    Returns {"per_seq": {...}, "combined": {...}} metric dicts including
+    HOTA, MOTA, IDF1.
+    """
+    dataset = MOTDataset(data_root)
+    if len(dataset) == 0:
+        raise ValueError(f"no MOT sequences found under {data_root}")
+    cfg = build_replay_config(tracker_type, **(tracker_params or {}))
+    seq_data = {}
+    for seq in dataset:
+        dets = seq.dets_per_frame()
+        if min_det_conf is not None:
+            dets = [d[d[:, 4] >= min_det_conf] for d in dets]
+        mot_rows = replay_sequence(cfg, dets)
+        if output_dir is not None:
+            write_mot_results(Path(output_dir) / f"{seq.name}.txt", mot_rows)
+        seq_data[seq.name] = preprocess_sequence(
+            seq.gt(), mot_rows.astype(np.float64), seq.seq_length
+        )
+        if verbose:
+            print(f"replayed {seq.name}: {len(mot_rows)} track rows")
+    results = evaluate_sequences(seq_data)
+    if verbose:
+        c = results["combined"]
+        print(
+            f"HOTA {100 * c['HOTA']:.2f}  MOTA {100 * c['MOTA']:.2f}  "
+            f"IDF1 {100 * c['IDF1']:.2f}"
+        )
+    return results

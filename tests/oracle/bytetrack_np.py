@@ -102,12 +102,21 @@ class ByteTrackOracle:
         self.lost = []
 
     def _cost(self, tracks, dets, fuse):
-        C = np.zeros((len(tracks), len(dets)))
-        for i, t in enumerate(tracks):
-            for j, d in enumerate(dets):
-                s = iou(t.xyxy, d.box)
-                C[i, j] = 1 - s * d.conf if fuse else 1 - s
-        return C
+        if not tracks or not dets:
+            return np.zeros((len(tracks), len(dets)))
+        tb = np.stack([t.xyxy for t in tracks])
+        db = np.stack([d.box for d in dets])
+        xx1 = np.maximum(tb[:, None, 0], db[None, :, 0])
+        yy1 = np.maximum(tb[:, None, 1], db[None, :, 1])
+        xx2 = np.minimum(tb[:, None, 2], db[None, :, 2])
+        yy2 = np.minimum(tb[:, None, 3], db[None, :, 3])
+        inter = np.maximum(0, xx2 - xx1) * np.maximum(0, yy2 - yy1)
+        ta = ((tb[:, 2] - tb[:, 0]) * (tb[:, 3] - tb[:, 1]))[:, None]
+        da = ((db[:, 2] - db[:, 0]) * (db[:, 3] - db[:, 1]))[None, :]
+        sim = inter / np.maximum(ta + da - inter, 1e-12)
+        if fuse:
+            sim = sim * np.array([d.conf for d in dets])[None, :]
+        return 1.0 - sim
 
     def update(self, dets):
         dets = np.asarray(dets, dtype=float)
