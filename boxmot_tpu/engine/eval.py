@@ -21,9 +21,11 @@ from boxmot_tpu.engine.metrics.mot_metrics import (
 from boxmot_tpu.engine.mot_io import write_mot_results
 from boxmot_tpu.engine.replay import replay_sequence
 from boxmot_tpu.trackers.bytetrack import ByteTrackConfig
+from boxmot_tpu.trackers.ocsort import OcSortConfig
 
 _TRACKER_CONFIGS = {
     "bytetrack": ByteTrackConfig,
+    "ocsort": OcSortConfig,
 }
 
 

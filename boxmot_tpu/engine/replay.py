@@ -21,10 +21,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from boxmot_tpu.engine.mot_io import convert_to_mot_format
-from boxmot_tpu.trackers.bytetrack import bytetrack_step, init_state
 
 FRAME_BUCKETS = (64, 128, 256, 512, 1024, 2048)
 DET_BUCKETS = (8, 16, 32, 64, 128, 256)
+
+
+def resolve_tracker(cfg):
+    """Map a tracker config dataclass to its (init_state, step) pair."""
+    from boxmot_tpu.trackers import bytetrack, ocsort
+
+    if isinstance(cfg, bytetrack.ByteTrackConfig):
+        return bytetrack.init_state, bytetrack.bytetrack_step
+    if isinstance(cfg, ocsort.OcSortConfig):
+        return ocsort.init_state, ocsort.ocsort_step
+    raise TypeError(f"unknown tracker config type {type(cfg).__name__}")
+
+
+def init_state(cfg):
+    return resolve_tracker(cfg)[0](cfg)
 
 
 def _bucket(n, buckets):
@@ -60,10 +74,11 @@ def scan_replay(cfg, state, dets_seq):
 
     dets_seq: (F, D, 7).  Returns (state, outs (F, K, 8), masks (F, K)).
     """
+    _, step_fn = resolve_tracker(cfg)
 
     def step(state, frame_dets):
         det_valid = frame_dets[:, 4] >= 0.0
-        state, out, mask = bytetrack_step(cfg, state, frame_dets, det_valid)
+        state, out, mask = step_fn(cfg, state, frame_dets, det_valid)
         return state, (out, mask)
 
     state, (outs, masks) = jax.lax.scan(step, state, dets_seq)

@@ -1,0 +1,458 @@
+"""OC-SORT as a fixed-capacity struct-of-arrays XLA program.
+
+Re-design of the reference OC-SORT
+(boxmot/trackers/bbox/ocsort/ocsort.py:17-556): observation-centric SORT
+with an XYSR Kalman filter, velocity-direction-consistency association
+cost, observation-centric recovery (OCR) against last observations, and
+observation re-update (ORU) that replays the filter over interpolated
+measurements when a track is re-found after misses
+(motion/kalman_filters/xysr.py:379-440 freeze/unfreeze).
+
+All of it — including the ORU replay, implemented as a bounded masked
+loop — runs inside one jitted step over (K,) slot arrays.
+
+Semantics preserved:
+  * first pass: dets(conf > det_thresh) vs predicted tracks with cost
+    iou + valid * ((pi/2 - |angle_diff|)/pi) * inertia * det_conf, full
+    assignment then iou >= iou_threshold filter, with the reference's
+    unique-candidate shortcut          (association/association.py:61-153)
+  * optional BYTE pass on low-conf dets (use_byte)
+  * OCR pass: leftover dets vs last observations at iou >= threshold
+  * k_previous_obs ring buffer for the velocity reference point
+  * output emits the last observation box (not the KF state) for
+    observed tracks, gated on time_since_update < 1 and
+    hit_streak >= min_hits (or warm-up frames)  (ocsort.py:527-546)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from boxmot_tpu.motion import kalman
+from boxmot_tpu.ops.geometry import xysr2xyxy, xyxy2xysr
+from boxmot_tpu.ops.iou import get_asso_func
+from boxmot_tpu.ops.lap import masked_assignment
+from boxmot_tpu.trackers.base import BaseTracker
+
+MAX_ORU = 32  # bounded replay length; reference gaps are <= max_age
+
+
+@dataclasses.dataclass(frozen=True)
+class OcSortConfig:
+    det_thresh: float = 0.3
+    min_conf: float = 0.1
+    max_age: int = 30
+    min_hits: int = 3
+    iou_threshold: float = 0.3
+    delta_t: int = 3
+    inertia: float = 0.2
+    use_byte: bool = False
+    q_xy_scaling: float = 0.01
+    q_s_scaling: float = 0.0001
+    asso_func: str = "iou"
+    capacity: int = 256
+
+
+@struct.dataclass
+class OcSortState:
+    mean: jax.Array  # (K, 7) xysr + velocities
+    cov: jax.Array  # (K, 7, 7)
+    active: jax.Array  # (K,) bool
+    age: jax.Array  # (K,) i32 — predicts since creation
+    tsu: jax.Array  # (K,) i32 time_since_update
+    hits: jax.Array  # (K,) i32
+    hit_streak: jax.Array  # (K,) i32
+    tid: jax.Array  # (K,) i32
+    conf: jax.Array  # (K,)
+    cls: jax.Array  # (K,)
+    det_ind: jax.Array  # (K,)
+    last_obs: jax.Array  # (K, 5) [x1,y1,x2,y2,conf] or -1
+    has_obs: jax.Array  # (K,) bool — ever updated with a detection
+    obs_ring: jax.Array  # (K, R, 5) observations by age % R
+    ring_age: jax.Array  # (K, R) i32 age stored, -1 empty
+    velocity: jax.Array  # (K, 2) (dy, dx)
+    observed: jax.Array  # (K,) bool — matched on the previous step
+    frozen_mean: jax.Array  # (K, 7) snapshot at first miss (ORU)
+    frozen_cov: jax.Array  # (K, 7, 7)
+    last_meas: jax.Array  # (K, 4) xysr measurement of last real update
+    frame_count: jax.Array  # ()
+    next_id: jax.Array  # ()
+
+
+def init_state(cfg: OcSortConfig) -> OcSortState:
+    K, R = cfg.capacity, cfg.delta_t
+    return OcSortState(
+        mean=jnp.zeros((K, 7), jnp.float32),
+        cov=jnp.zeros((K, 7, 7), jnp.float32),
+        active=jnp.zeros((K,), bool),
+        age=jnp.zeros((K,), jnp.int32),
+        tsu=jnp.zeros((K,), jnp.int32),
+        hits=jnp.zeros((K,), jnp.int32),
+        hit_streak=jnp.zeros((K,), jnp.int32),
+        tid=jnp.zeros((K,), jnp.int32),
+        conf=jnp.zeros((K,), jnp.float32),
+        cls=jnp.zeros((K,), jnp.float32),
+        det_ind=jnp.zeros((K,), jnp.float32),
+        last_obs=jnp.full((K, 5), -1.0, jnp.float32),
+        has_obs=jnp.zeros((K,), bool),
+        obs_ring=jnp.full((K, R, 5), -1.0, jnp.float32),
+        ring_age=jnp.full((K, R), -1, jnp.int32),
+        velocity=jnp.zeros((K, 2), jnp.float32),
+        observed=jnp.zeros((K,), bool),
+        frozen_mean=jnp.zeros((K, 7), jnp.float32),
+        frozen_cov=jnp.zeros((K, 7, 7), jnp.float32),
+        last_meas=jnp.zeros((K, 4), jnp.float32),
+        frame_count=jnp.asarray(0, jnp.int32),
+        next_id=jnp.asarray(1, jnp.int32),
+    )
+
+
+def _full_assignment(cost, row_mask, col_mask):
+    """Full (max-cardinality, min-cost) assignment over valid pairs —
+    lap.lapjv(extend_cost=True) semantics without a cost limit."""
+    bound = jnp.max(jnp.where(row_mask[:, None] & col_mask[None, :], cost, -jnp.inf))
+    bound = jnp.where(jnp.isfinite(bound), bound, 0.0)
+    return masked_assignment(cost, row_mask, col_mask, bound + 1.0)
+
+
+def _unique_shortcut(iou, row_mask, col_mask, thresh):
+    """Reference shortcut (association.py:107-110): if candidates at
+    iou > thresh form a perfect partial matching, use it directly."""
+    a = (iou > thresh) & row_mask[:, None] & col_mask[None, :]
+    ai = a.astype(jnp.int32)
+    usable = (jnp.max(jnp.sum(ai, axis=1)) == 1) & (jnp.max(jnp.sum(ai, axis=0)) == 1)
+    r2c = jnp.where(jnp.any(a, axis=1), jnp.argmax(ai, axis=1).astype(jnp.int32), -1)
+    return usable, r2c
+
+
+def _speed_direction(from_boxes, to_boxes):
+    """Normalized (dy, dx) from box centers (…,4 xyxy) pairwise.
+
+    from_boxes: (K, 4); to_boxes: (D, 4) -> (K, D, 2)."""
+    fcx = (from_boxes[:, 0] + from_boxes[:, 2]) / 2.0
+    fcy = (from_boxes[:, 1] + from_boxes[:, 3]) / 2.0
+    tcx = (to_boxes[:, 0] + to_boxes[:, 2]) / 2.0
+    tcy = (to_boxes[:, 1] + to_boxes[:, 3]) / 2.0
+    dx = tcx[None, :] - fcx[:, None]
+    dy = tcy[None, :] - fcy[:, None]
+    norm = jnp.sqrt(dx**2 + dy**2) + 1e-6
+    return dy / norm, dx / norm
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def ocsort_step(cfg: OcSortConfig, state: OcSortState, dets, det_valid):
+    """One frame.  dets: (D, 7) [x1,y1,x2,y2,conf,cls,det_ind] padded."""
+    layout = kalman.make_xysr_layout(
+        q_xy_scaling=cfg.q_xy_scaling, q_s_scaling=cfg.q_s_scaling
+    )
+    asso = get_asso_func(cfg.asso_func)
+    K = cfg.capacity
+    D = dets.shape[0]
+    R = cfg.delta_t
+    frame = state.frame_count + 1
+
+    conf = dets[:, 4]
+    first = det_valid & (conf > cfg.det_thresh)
+    second = det_valid & (conf > cfg.min_conf) & (conf < cfg.det_thresh)
+    det_box = dets[:, :4]
+    det_xysr = xyxy2xysr(det_box)
+    det_xysr = det_xysr.at[:, 2].set(jnp.maximum(det_xysr[:, 2], 1e-6))
+    det_xysr = det_xysr.at[:, 3].set(jnp.maximum(det_xysr[:, 3], 1e-6))
+
+    active = state.active
+
+    # --- predict (KalmanBoxTracker.predict, ocsort.py:278-296):
+    # zero area-velocity when it would drive the area negative.
+    vs_bad = (state.mean[:, 6] + state.mean[:, 2]) <= 0
+    mean = state.mean.at[:, 6].set(jnp.where(vs_bad, 0.0, state.mean[:, 6]))
+    mean, cov = kalman.predict(layout, mean, state.cov, active)
+    age = state.age + active.astype(jnp.int32)
+    hit_streak = jnp.where(active & (state.tsu > 0), 0, state.hit_streak)
+    tsu = state.tsu + active.astype(jnp.int32)
+
+    trk_box = xysr2xyxy(mean[:, :4])
+
+    # --- k_previous_obs from the ring buffer (ocsort.py:18-29)
+    k_obs = state.last_obs
+    found = jnp.zeros((K,), bool)
+    for i in range(cfg.delta_t):
+        dt = cfg.delta_t - i
+        target = age - dt
+        slot = jnp.clip(target % R, 0, R - 1)
+        hit = (state.ring_age[jnp.arange(K), slot] == target) & (target >= 0)
+        take = hit & ~found
+        k_obs = jnp.where(take[:, None], state.obs_ring[jnp.arange(K), slot], k_obs)
+        found = found | hit
+
+    # --- pass 1: dets(first) vs predicted boxes with velocity-direction cost
+    iou1 = asso(trk_box, det_box)  # (K, D)
+    Y, X = _speed_direction(k_obs[:, :4], det_box)
+    diff_cos = jnp.clip(
+        state.velocity[:, 1:2] * X + state.velocity[:, 0:1] * Y, -1.0, 1.0
+    )
+    diff_angle = (jnp.pi / 2.0 - jnp.abs(jnp.arccos(diff_cos))) / jnp.pi
+    valid_vel = (k_obs[:, 4] >= 0)[:, None]
+    angle_cost = valid_vel * diff_angle * cfg.inertia * conf[None, :]
+
+    usable, r2c_short = _unique_shortcut(iou1, active, first, cfg.iou_threshold)
+    r2c_full = _full_assignment(-(iou1 + angle_cost), active, first)
+    r2c1 = jnp.where(usable, r2c_short, r2c_full)
+    # iou >= threshold filter (association.py:139-147)
+    keep1 = (r2c1 >= 0) & (
+        iou1[jnp.arange(K), jnp.clip(r2c1, 0, D - 1)] >= cfg.iou_threshold
+    )
+    # the shortcut path built matches from iou > threshold candidates
+    keep1 = jnp.where(
+        usable,
+        (r2c1 >= 0)
+        & (iou1[jnp.arange(K), jnp.clip(r2c1, 0, D - 1)] > cfg.iou_threshold),
+        keep1,
+    )
+    m1 = keep1
+    dm = jnp.zeros((D,), bool).at[jnp.where(m1, r2c1, D)].set(True, mode="drop")
+    matched = m1
+    det_col = jnp.where(m1, r2c1, -1)
+
+    # --- optional BYTE pass on low-confidence dets (ocsort.py:455-483)
+    if cfg.use_byte:
+        rows2 = active & ~matched
+        iou2 = asso(trk_box, det_box)
+        gate2 = (
+            jnp.max(
+                jnp.where(rows2[:, None] & second[None, :], iou2, -jnp.inf)
+            )
+            > cfg.iou_threshold
+        )
+        r2c2 = _full_assignment(-iou2, rows2, second)
+        keep2 = (
+            (r2c2 >= 0)
+            & (iou2[jnp.arange(K), jnp.clip(r2c2, 0, D - 1)] >= cfg.iou_threshold)
+            & gate2
+        )
+        matched = matched | keep2
+        det_col = jnp.where(keep2, r2c2, det_col)
+        dm = dm.at[jnp.where(keep2, r2c2, D)].set(True, mode="drop")
+
+    # --- OCR: leftover dets vs last observations (ocsort.py:485-510)
+    rows3 = active & ~matched
+    cols3 = first & ~dm
+    iou3 = asso(state.last_obs[:, :4], det_box)
+    gate3 = (
+        jnp.max(jnp.where(rows3[:, None] & cols3[None, :], iou3, -jnp.inf))
+        > cfg.iou_threshold
+    )
+    r2c3 = _full_assignment(-iou3, rows3, cols3)
+    keep3 = (
+        (r2c3 >= 0)
+        & (iou3[jnp.arange(K), jnp.clip(r2c3, 0, D - 1)] >= cfg.iou_threshold)
+        & gate3
+    )
+    matched = matched | keep3
+    det_col = jnp.where(keep3, r2c3, det_col)
+    dm = dm.at[jnp.where(keep3, r2c3, D)].set(True, mode="drop")
+
+    c = jnp.clip(det_col, 0, D - 1)
+
+    # --- ORU: re-found tracks replay the filter over interpolated
+    # measurements from the frozen pre-miss state (xysr.py:384-440).
+    rejoin = matched & ~state.observed & state.has_obs & (tsu > 1)
+    mean = jnp.where(rejoin[:, None], state.frozen_mean, mean)
+    cov = jnp.where(rejoin[:, None, None], state.frozen_cov, cov)
+    gap = tsu  # misses + 1 at the rejoin frame
+    z2 = det_xysr[c]
+    m1_ = state.last_meas
+    w1 = jnp.sqrt(jnp.maximum(m1_[:, 2] * m1_[:, 3], 1e-12))
+    h1 = jnp.sqrt(jnp.maximum(m1_[:, 2] / jnp.maximum(m1_[:, 3], 1e-12), 1e-12))
+    w2 = jnp.sqrt(jnp.maximum(z2[:, 2] * z2[:, 3], 1e-12))
+    h2 = jnp.sqrt(jnp.maximum(z2[:, 2] / jnp.maximum(z2[:, 3], 1e-12), 1e-12))
+    gapf = jnp.maximum(gap.astype(jnp.float32), 1.0)
+    dx = (z2[:, 0] - m1_[:, 0]) / gapf
+    dy = (z2[:, 1] - m1_[:, 1]) / gapf
+    dw = (w2 - w1) / gapf
+    dh = (h2 - h1) / gapf
+    for i in range(1, MAX_ORU + 1):
+        act_i = rejoin & (i <= gap)
+        if i > 1:
+            # predict between interpolated updates (not after the last one)
+            mean, cov = kalman.predict(layout, mean, cov, act_i)
+        fi = jnp.float32(i)
+        xi = m1_[:, 0] + fi * dx
+        yi = m1_[:, 1] + fi * dy
+        wi = w1 + fi * dw
+        hi = h1 + fi * dh
+        zi = jnp.stack(
+            [xi, yi, jnp.maximum(wi * hi, 1e-6), jnp.maximum(wi / jnp.maximum(hi, 1e-12), 1e-6)],
+            axis=-1,
+        )
+        mean, cov = kalman.update(
+            layout, mean, cov, zi, jnp.zeros((K,), jnp.float32), act_i
+        )
+
+    # --- regular measurement update for every matched slot
+    mean, cov = kalman.update(
+        layout, mean, cov, z2, jnp.zeros((K,), jnp.float32), matched
+    )
+
+    # --- velocity + observation bookkeeping for matched slots
+    dy_v, dx_v = _speed_direction(k_obs[:, :4], det_box)
+    vel_new = jnp.stack(
+        [dy_v[jnp.arange(K), c], dx_v[jnp.arange(K), c]], axis=-1
+    )
+    set_vel = matched & state.has_obs
+    velocity = jnp.where(set_vel[:, None], vel_new, state.velocity)
+
+    new_obs = jnp.concatenate([det_box[c], conf[c][:, None]], axis=-1)
+    last_obs = jnp.where(matched[:, None], new_obs, state.last_obs)
+    slot = jnp.clip(age % R, 0, R - 1)
+    obs_ring = jnp.where(
+        matched[:, None, None],
+        state.obs_ring.at[jnp.arange(K), slot].set(new_obs),
+        state.obs_ring,
+    )
+    ring_age = jnp.where(
+        matched[:, None],
+        state.ring_age.at[jnp.arange(K), slot].set(age),
+        state.ring_age,
+    )
+    last_meas = jnp.where(matched[:, None], z2, state.last_meas)
+    has_obs = state.has_obs | matched
+    hits = state.hits + matched.astype(jnp.int32)
+    hit_streak = hit_streak + matched.astype(jnp.int32)
+    conf_s = jnp.where(matched, conf[c], state.conf)
+    cls_s = jnp.where(matched, dets[:, 5][c], state.cls)
+    det_ind_s = jnp.where(matched, dets[:, 6][c], state.det_ind)
+    tsu = jnp.where(matched, 0, tsu)
+
+    # --- misses: freeze on the first unobserved step (xysr.py:452-459)
+    miss = active & ~matched
+    first_miss = miss & state.observed
+    frozen_mean = jnp.where(first_miss[:, None], mean, state.frozen_mean)
+    frozen_cov = jnp.where(first_miss[:, None, None], cov, state.frozen_cov)
+    observed = jnp.where(active, matched, state.observed)
+
+    # --- new tracks from unmatched high-conf dets (ocsort.py:513-526)
+    new_det = first & ~dm
+    n_new = jnp.sum(new_det.astype(jnp.int32))
+    det_rank = jnp.cumsum(new_det.astype(jnp.int32)) - 1
+    det_by_rank = (
+        jnp.full((D,), D, jnp.int32)
+        .at[jnp.where(new_det, det_rank, D)]
+        .set(jnp.arange(D, dtype=jnp.int32), mode="drop")
+    )
+    free = ~active
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    takes = free & (free_rank < n_new)
+    slot_det = jnp.clip(det_by_rank[jnp.clip(free_rank, 0, D - 1)], 0, D - 1)
+
+    init_mean_v, init_cov_v = kalman.initiate(layout, det_xysr[slot_det])
+    mean = jnp.where(takes[:, None], init_mean_v, mean)
+    cov = jnp.where(takes[:, None, None], init_cov_v, cov)
+    active = active | takes
+    tid = jnp.where(takes, state.next_id + free_rank, state.tid)
+    conf_s = jnp.where(takes, conf[slot_det], conf_s)
+    cls_s = jnp.where(takes, dets[:, 5][slot_det], cls_s)
+    det_ind_s = jnp.where(takes, dets[:, 6][slot_det], det_ind_s)
+    age = jnp.where(takes, 0, age)
+    tsu = jnp.where(takes, 0, tsu)
+    hits = jnp.where(takes, 0, hits)
+    hit_streak = jnp.where(takes, 0, hit_streak)
+    has_obs = jnp.where(takes, False, has_obs)
+    observed = jnp.where(takes, False, observed)
+    velocity = jnp.where(takes[:, None], 0.0, velocity)
+    last_obs = jnp.where(takes[:, None], -1.0, last_obs)
+    ring_age = jnp.where(takes[:, None], -1, ring_age)
+
+    # --- removal (ocsort.py:548-550)
+    dead = active & (tsu > cfg.max_age)
+    active = active & ~dead
+
+    # --- output (ocsort.py:527-546): last observation box when available
+    out_box = jnp.where(
+        has_obs[:, None], last_obs[:, :4], xysr2xyxy(mean[:, :4])
+    )
+    out_mask = (
+        active
+        & (tsu < 1)
+        & ((hit_streak >= cfg.min_hits) | (frame <= cfg.min_hits))
+    )
+    out = jnp.concatenate(
+        [
+            out_box,
+            tid[:, None].astype(jnp.float32),
+            conf_s[:, None],
+            cls_s[:, None],
+            det_ind_s[:, None],
+        ],
+        axis=1,
+    )
+
+    new_state = OcSortState(
+        mean=mean,
+        cov=cov,
+        active=active,
+        age=age,
+        tsu=tsu,
+        hits=hits,
+        hit_streak=hit_streak,
+        tid=tid,
+        conf=conf_s,
+        cls=cls_s,
+        det_ind=det_ind_s,
+        last_obs=last_obs,
+        has_obs=has_obs,
+        obs_ring=obs_ring,
+        ring_age=ring_age,
+        velocity=velocity,
+        observed=observed,
+        frozen_mean=frozen_mean,
+        frozen_cov=frozen_cov,
+        last_meas=last_meas,
+        frame_count=frame,
+        next_id=state.next_id + n_new,
+    )
+    return new_state, out, out_mask
+
+
+class OcSort(BaseTracker):
+    """Host wrapper mirroring the reference constructor (ocsort.py:339-363)."""
+
+    supports_obb = False  # OBB lands with the XYSR-theta layout
+
+    def __init__(
+        self,
+        min_conf: float = 0.1,
+        delta_t: int = 3,
+        inertia: float = 0.2,
+        use_byte: bool = False,
+        Q_xy_scaling: float = 0.01,
+        Q_s_scaling: float = 0.0001,
+        capacity: int = 256,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.cfg = OcSortConfig(
+            det_thresh=self.det_thresh,
+            min_conf=min_conf,
+            max_age=self.max_age,
+            min_hits=self.min_hits,
+            iou_threshold=self.iou_threshold,
+            delta_t=delta_t,
+            inertia=inertia,
+            use_byte=use_byte,
+            q_xy_scaling=Q_xy_scaling,
+            q_s_scaling=Q_s_scaling,
+            asso_func=self.asso_func_name,
+            capacity=capacity,
+        )
+
+    def _init_state(self):
+        return init_state(self.cfg)
+
+    def _step(self, state, dets_padded, det_valid):
+        return ocsort_step(self.cfg, state, dets_padded, det_valid)
