@@ -1,0 +1,3 @@
+"""Appearance embedding (ReID) stack: Flax backbones + device pipeline."""
+
+from boxmot_tpu.reid.core import ReID, MODEL_FACTORY  # noqa: F401

@@ -1,0 +1,123 @@
+"""ReID facade: crops -> embeddings, all on device.
+
+API mirror of the reference ReID facade (boxmot/reid/core/reid.py:26-262
+and backends/base_backend.py:19-260): `ReID(weights, ...)` exposes
+`get_features(xyxys, img) -> (N, F) L2-normalized embeddings`.  Instead
+of suffix-dispatched runtime backends (.pt/.onnx/.engine/...), there is
+one TPU path: device crop+resize+standardize (ops/crops.py) feeding a
+jitted Flax backbone; detection counts are padded to static buckets.
+
+Model names follow the reference MODEL_FACTORY naming
+(boxmot/reid/core/factory.py:27-63); weight files are torchreid-format
+checkpoints converted on load (models/convert.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boxmot_tpu.models import convert as convert_mod
+from boxmot_tpu.models.osnet import OSNET_VARIANTS, build_osnet
+from boxmot_tpu.ops.crops import extract_crops
+
+CROP_BUCKETS = (1, 8, 16, 32, 64, 128, 256)
+
+MODEL_FACTORY = {name: partial(build_osnet, name) for name in OSNET_VARIANTS}
+
+
+def infer_model_name(weights: str | Path | None) -> str:
+    """Guess the backbone from the weights filename (reference
+    registry.get_model_name semantics, registry.py:126-214)."""
+    if weights is None:
+        return "osnet_x0_25"
+    stem = Path(weights).stem.lower()
+    for name in sorted(MODEL_FACTORY, key=len, reverse=True):
+        if name in stem:
+            return name
+    raise ValueError(f"cannot infer ReID model from weights name {weights!r}")
+
+
+def _crop_bucket(n: int) -> int:
+    for b in CROP_BUCKETS:
+        if n <= b:
+            return b
+    raise ValueError(f"too many crops: {n}")
+
+
+class ReID:
+    """Appearance model with the reference get_features contract."""
+
+    def __init__(
+        self,
+        weights: str | Path | None = None,
+        device=None,  # accepted for API parity; jax picks the backend
+        half: bool = False,
+        preprocess_name: str = "resize",
+        model_name: str | None = None,
+        crop_hw: tuple[int, int] = (256, 128),
+    ):
+        self.model_name = model_name or infer_model_name(weights)
+        self.model = MODEL_FACTORY[self.model_name]()
+        self.crop_hw = crop_hw
+        self.half = half
+        self.preprocess_name = preprocess_name
+        self.feature_dim = self.model.feature_dim
+
+        if weights is not None and Path(str(weights)).exists():
+            self.variables = convert_mod.convert_osnet(str(weights))
+        else:
+            rng = jax.random.PRNGKey(0)
+            dummy = jnp.zeros((1, *crop_hw, 3), jnp.float32)
+            self.variables = self.model.init(rng, dummy)
+        if half:
+            self.variables = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.asarray(x).dtype == jnp.float32
+                else x,
+                self.variables,
+            )
+
+        model = self.model
+        crop = crop_hw
+
+        @jax.jit
+        def _forward(variables, img_bgr, boxes, valid):
+            # BGR->RGB on device (reference flips on host, base_backend.py:181)
+            img_rgb = img_bgr[..., ::-1]
+            crops = extract_crops(img_rgb, boxes, out_hw=crop)
+            if half:
+                crops = crops.astype(jnp.bfloat16)
+            feats = model.apply(variables, crops)
+            feats = feats.astype(jnp.float32)
+            norm = jnp.linalg.norm(feats, axis=-1, keepdims=True)
+            feats = feats / jnp.maximum(norm, 1e-12)
+            return jnp.where(valid[:, None], feats, 0.0)
+
+        self._forward = _forward
+
+    def get_features(self, xyxys: np.ndarray, img: np.ndarray) -> np.ndarray:
+        """(N, 4) boxes + HxWx3 RGB/BGR uint8 frame -> (N, F) embeddings."""
+        xyxys = np.asarray(xyxys, np.float32).reshape(-1, 4)
+        n = len(xyxys)
+        if n == 0:
+            return np.zeros((0, self.feature_dim), np.float32)
+        B = _crop_bucket(n)
+        boxes = np.zeros((B, 4), np.float32)
+        boxes[:, 2:] = 1.0
+        boxes[:n] = xyxys
+        valid = np.arange(B) < n
+        feats = self._forward(
+            self.variables,
+            jnp.asarray(img),
+            jnp.asarray(boxes),
+            jnp.asarray(valid),
+        )
+        return np.asarray(feats)[:n]
+
+    def __call__(self, xyxys, img):
+        return self.get_features(xyxys, img)
