@@ -20,12 +20,18 @@ from boxmot_tpu.engine.metrics.mot_metrics import (
 )
 from boxmot_tpu.engine.mot_io import write_mot_results
 from boxmot_tpu.engine.replay import replay_sequence
+from boxmot_tpu.trackers.botsort import BotSortConfig
 from boxmot_tpu.trackers.bytetrack import ByteTrackConfig
 from boxmot_tpu.trackers.ocsort import OcSortConfig
+from boxmot_tpu.trackers.sfsort import SFSortConfig
+from boxmot_tpu.trackers.deepocsort import DeepOcSortConfig
 
 _TRACKER_CONFIGS = {
     "bytetrack": ByteTrackConfig,
     "ocsort": OcSortConfig,
+    "botsort": BotSortConfig,
+    "sfsort": SFSortConfig,
+    "deepocsort": DeepOcSortConfig,
 }
 
 

@@ -27,14 +27,47 @@ DET_BUCKETS = (8, 16, 32, 64, 128, 256)
 
 
 def resolve_tracker(cfg):
-    """Map a tracker config dataclass to its (init_state, step) pair."""
-    from boxmot_tpu.trackers import bytetrack, ocsort
+    """Map a tracker config dataclass to (init_state, step).
+
+    Steps are normalized to a uniform signature
+    (cfg, state, dets, det_valid, embs, warp); motion-only trackers
+    ignore the appearance/warp inputs.
+    """
+    from boxmot_tpu.trackers import botsort, bytetrack, deepocsort, ocsort, sfsort
 
     if isinstance(cfg, bytetrack.ByteTrackConfig):
-        return bytetrack.init_state, bytetrack.bytetrack_step
+        return bytetrack.init_state, (
+            lambda cfg, st, dets, dv, embs, warp: bytetrack.bytetrack_step(
+                cfg, st, dets, dv
+            )
+        )
     if isinstance(cfg, ocsort.OcSortConfig):
-        return ocsort.init_state, ocsort.ocsort_step
+        return ocsort.init_state, (
+            lambda cfg, st, dets, dv, embs, warp: ocsort.ocsort_step(
+                cfg, st, dets, dv
+            )
+        )
+    if isinstance(cfg, botsort.BotSortConfig):
+        return botsort.init_state, botsort.botsort_step
+    if isinstance(cfg, deepocsort.DeepOcSortConfig):
+        return deepocsort.init_state, deepocsort.deepocsort_step
+    if isinstance(cfg, sfsort.SFSortConfig):
+        return sfsort.init_state, (
+            lambda cfg, st, dets, dv, embs, warp: sfsort.sfsort_step(
+                cfg, st, dets, dv
+            )
+        )
     raise TypeError(f"unknown tracker config type {type(cfg).__name__}")
+
+
+def _default_embs(cfg, F, D):
+    feat_dim = getattr(cfg, "feat_dim", 1)
+    return jnp.zeros((F, D, feat_dim), jnp.float32)
+
+
+def _default_warps(F):
+    ident = jnp.eye(2, 3, dtype=jnp.float32)
+    return jnp.broadcast_to(ident, (F, 2, 3))
 
 
 def init_state(cfg):
@@ -69,26 +102,43 @@ def pack_frames(dets_per_frame, D=None, F=None):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def scan_replay(cfg, state, dets_seq):
+def scan_replay(cfg, state, dets_seq, embs_seq=None, warps_seq=None):
     """Replay one sequence on device.
 
-    dets_seq: (F, D, 7).  Returns (state, outs (F, K, 8), masks (F, K)).
+    dets_seq: (F, D, 7); embs_seq: optional (F, D, feat_dim) cached
+    appearance embeddings; warps_seq: optional (F, 2, 3) camera-motion
+    warps.  Returns (state, outs (F, K, out_cols), masks (F, K)).
     """
     _, step_fn = resolve_tracker(cfg)
+    F, D = dets_seq.shape[0], dets_seq.shape[1]
+    if embs_seq is None:
+        embs_seq = _default_embs(cfg, F, D)
+    if warps_seq is None:
+        warps_seq = _default_warps(F)
 
-    def step(state, frame_dets):
+    def step(state, xs):
+        frame_dets, embs, warp = xs
         det_valid = frame_dets[:, 4] >= 0.0
-        state, out, mask = step_fn(cfg, state, frame_dets, det_valid)
+        state, out, mask = step_fn(cfg, state, frame_dets, det_valid, embs, warp)
         return state, (out, mask)
 
-    state, (outs, masks) = jax.lax.scan(step, state, dets_seq)
+    state, (outs, masks) = jax.lax.scan(step, state, (dets_seq, embs_seq, warps_seq))
     return state, outs, masks
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def batch_replay(cfg, states, dets_batch):
+def batch_replay(cfg, states, dets_batch, embs_batch=None, warps_batch=None):
     """Replay S sequences in lockstep: dets_batch (S, F, D, 7)."""
-    return jax.vmap(lambda s, d: scan_replay(cfg, s, d))(states, dets_batch)
+    S, F, D = dets_batch.shape[0], dets_batch.shape[1], dets_batch.shape[2]
+    if embs_batch is None:
+        embs_batch = jnp.broadcast_to(
+            _default_embs(cfg, F, D), (S, F, D, getattr(cfg, "feat_dim", 1))
+        )
+    if warps_batch is None:
+        warps_batch = jnp.broadcast_to(_default_warps(F), (S, F, 2, 3))
+    return jax.vmap(lambda s, d, e, w: scan_replay(cfg, s, d, e, w))(
+        states, dets_batch, embs_batch, warps_batch
+    )
 
 
 def init_states(cfg, n: int):
@@ -97,14 +147,44 @@ def init_states(cfg, n: int):
     return jax.tree.map(lambda x: jnp.broadcast_to(x, (n,) + x.shape), one)
 
 
-def replay_sequence(cfg, dets_per_frame, frame_offset: int = 0):
+def pack_embs(embs_per_frame, feat_dim, D=None, F=None):
+    """Pack per-frame (Ni, F) embeddings into (F, D, feat_dim)."""
+    n_frames = len(embs_per_frame)
+    max_d = max((len(e) for e in embs_per_frame), default=1)
+    D = D or _bucket(max(max_d, 1), DET_BUCKETS)
+    F = F or _bucket(max(n_frames, 1), FRAME_BUCKETS)
+    out = np.zeros((F, D, feat_dim), np.float32)
+    for f, e in enumerate(embs_per_frame):
+        if len(e):
+            out[f, : len(e)] = e
+    return out
+
+
+def replay_sequence(cfg, dets_per_frame, embs_per_frame=None, warps=None, frame_offset: int = 0):
     """Replay one sequence and return MOT rows (N, 9) on the host.
 
     frame_offset shifts emitted frame numbers (frames are 1-based).
     """
     packed, n_frames = pack_frames(dets_per_frame)
+    embs = None
+    if embs_per_frame is not None:
+        embs = jnp.asarray(
+            pack_embs(
+                embs_per_frame,
+                getattr(cfg, "feat_dim", 1),
+                D=packed.shape[1],
+                F=packed.shape[0],
+            )
+        )
+    warps_seq = None
+    if warps is not None:
+        w = np.broadcast_to(
+            np.eye(2, 3, dtype=np.float32), (packed.shape[0], 2, 3)
+        ).copy()
+        w[: len(warps)] = warps
+        warps_seq = jnp.asarray(w)
     state = init_state(cfg)
-    _, outs, masks = scan_replay(cfg, state, jnp.asarray(packed))
+    _, outs, masks = scan_replay(cfg, state, jnp.asarray(packed), embs, warps_seq)
     outs = np.asarray(outs)
     masks = np.asarray(masks)
     rows = []

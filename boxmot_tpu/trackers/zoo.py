@@ -12,6 +12,8 @@ TRACKER_MAPPING = {
     "bytetrack": "boxmot_tpu.trackers.bytetrack.ByteTrack",
     "ocsort": "boxmot_tpu.trackers.ocsort.OcSort",
     "botsort": "boxmot_tpu.trackers.botsort.BotSort",
+    "sfsort": "boxmot_tpu.trackers.sfsort.SFSORT",
+    "deepocsort": "boxmot_tpu.trackers.deepocsort.DeepOcSort",
 }
 
 # Trackers that consume appearance embeddings (tracker_zoo.py:12).
