@@ -1,0 +1,121 @@
+"""Detection/embedding caches: appendable .npy streams.
+
+Port of the reference cache layer (boxmot/data/cache.py:117-300):
+`AppendableNpyWriter` streams rows to a .npy file and rewrites the header
+on append so partially-generated sequences can resume; cache paths follow
+the reference layout
+
+    <root>/<detector>/dets/<seq>.npy
+    <root>/<detector>/embs/<reid>/<preprocess>/<seq>.npy
+
+Detection rows are (frame, x1, y1, x2, y2, conf, cls); embedding rows are
+(frame, f0..fN-1) aligned with the detection stream.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+class AppendableNpyWriter:
+    """Stream float32 rows into a .npy file with a resumable header.
+
+    The header is written with a padded shape field so it can be rewritten
+    in place as rows are appended (same trick as the reference
+    AppendableNpyWriter, data/cache.py:140-259).
+    """
+
+    def __init__(self, path: Path, n_cols: int):
+        self.path = Path(path)
+        self.n_cols = n_cols
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._rows = 0
+        if self.path.exists():
+            existing = np.load(self.path, mmap_mode="r")
+            if existing.ndim != 2 or existing.shape[1] != n_cols:
+                raise ValueError(
+                    f"existing cache {self.path} has shape {existing.shape}, "
+                    f"expected (*, {n_cols})"
+                )
+            self._rows = existing.shape[0]
+            del existing
+            self._fh = open(self.path, "r+b")
+            self._fh.seek(0, 2)
+        else:
+            self._fh = open(self.path, "w+b")
+            self._write_header(0)
+
+    def _write_header(self, rows: int):
+        self._fh.seek(0)
+        header = {
+            "descr": "<f4",
+            "fortran_order": False,
+            "shape": (rows, self.n_cols),
+        }
+        np.lib.format.write_array_header_2_0(self._fh, header)
+        self._header_len = self._fh.tell()
+
+    @property
+    def rows(self) -> int:
+        return self._rows
+
+    def append(self, rows: np.ndarray):
+        rows = np.asarray(rows, np.float32).reshape(-1, self.n_cols)
+        if not len(rows):
+            return
+        self._fh.seek(0, 2)
+        self._fh.write(rows.tobytes())
+        self._rows += len(rows)
+        self._write_header(self._rows)
+        self._fh.seek(0, 2)
+        self._fh.flush()
+
+    def close(self):
+        if not self._fh.closed:
+            self._write_header(self._rows)
+            self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def det_cache_path(root: Path, detector: str, seq: str) -> Path:
+    return Path(root) / detector / "dets" / f"{seq}.npy"
+
+
+def emb_cache_path(root: Path, detector: str, reid: str, seq: str, preprocess: str = "resize") -> Path:
+    return Path(root) / detector / "embs" / reid / preprocess / f"{seq}.npy"
+
+
+def load_cached_dets_per_frame(path: Path, n_frames: int):
+    """(N, 7) [frame, x1, y1, x2, y2, conf, cls] cache -> per-frame list."""
+    rows = np.load(path)
+    out = [np.zeros((0, 6), np.float32) for _ in range(n_frames)]
+    if rows.size == 0:
+        return out
+    frames = rows[:, 0].astype(int)
+    for f in range(1, n_frames + 1):
+        sel = rows[frames == f]
+        if len(sel):
+            out[f - 1] = sel[:, 1:7].astype(np.float32)
+    return out
+
+
+def load_cached_embs_per_frame(path: Path, n_frames: int):
+    """(N, 1 + F) cache -> per-frame list of (Ni, F) embeddings."""
+    rows = np.load(path)
+    feat = rows.shape[1] - 1 if rows.size else 1
+    out = [np.zeros((0, feat), np.float32) for _ in range(n_frames)]
+    if rows.size == 0:
+        return out
+    frames = rows[:, 0].astype(int)
+    for f in range(1, n_frames + 1):
+        sel = rows[frames == f]
+        if len(sel):
+            out[f - 1] = sel[:, 1:].astype(np.float32)
+    return out

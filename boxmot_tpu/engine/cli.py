@@ -1,0 +1,186 @@
+"""Command-line interface.
+
+Mirror of the reference CLI surface (boxmot/engine/cli.py: click group
+`boxmot` with track / generate / eval / tune / train / eval-reid /
+export commands).  Commands not yet backed by a subsystem raise with a
+pointer instead of silently doing nothing.
+
+Usage:
+    python -m boxmot_tpu.engine.cli eval --data assets/MOT17-mini/train
+    python -m boxmot_tpu.engine.cli generate --data ... --cache-root ...
+    python -m boxmot_tpu.engine.cli track --source <seq_dir> --tracker ocsort
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import click
+import numpy as np
+
+
+def _parse_params(params: tuple[str, ...]) -> dict:
+    out = {}
+    for p in params:
+        if "=" not in p:
+            raise click.BadParameter(f"expected key=value, got {p!r}")
+        k, v = p.split("=", 1)
+        try:
+            out[k] = json.loads(v)
+        except json.JSONDecodeError:
+            out[k] = v
+    return out
+
+
+@click.group()
+def cli():
+    """boxmot_tpu — TPU-native multi-object tracking."""
+
+
+@cli.command()
+@click.option("--data", required=True, type=click.Path(exists=True), help="MOT split dir")
+@click.option("--tracker", default="bytetrack", show_default=True)
+@click.option("--output-dir", type=click.Path(), default=None, help="write MOT txt here")
+@click.option("--cache-root", type=click.Path(), default=None, help="replay from caches")
+@click.option("--detector", default="public", show_default=True)
+@click.option("--reid", default=None, help="reid cache id for appearance replay")
+@click.option("--min-det-conf", type=float, default=None)
+@click.option("--param", "-p", multiple=True, help="tracker param key=value (json)")
+def eval(data, tracker, output_dir, cache_root, detector, reid, min_det_conf, param):
+    """Replay cached detections and report HOTA / MOTA / IDF1."""
+    from boxmot_tpu.engine.eval import run_eval
+
+    res = run_eval(
+        data,
+        tracker,
+        tracker_params=_parse_params(param),
+        output_dir=output_dir,
+        cache_root=cache_root,
+        detector=detector,
+        reid=reid,
+        min_det_conf=min_det_conf,
+        verbose=True,
+    )
+    c = res["combined"]
+    click.echo("\nper-sequence:")
+    for name, m in res["per_seq"].items():
+        click.echo(
+            f"  {name}: HOTA {100 * m['HOTA']:.2f}  MOTA {100 * m['MOTA']:.2f}  "
+            f"IDF1 {100 * m['IDF1']:.2f}"
+        )
+    click.echo(
+        f"COMBINED: HOTA {100 * c['HOTA']:.2f}  MOTA {100 * c['MOTA']:.2f}  "
+        f"IDF1 {100 * c['IDF1']:.2f}  (TP {c['CLR_TP']}  FP {c['CLR_FP']}  "
+        f"FN {c['CLR_FN']}  IDSW {c['IDSW']})"
+    )
+
+
+@cli.command()
+@click.option("--data", required=True, type=click.Path(exists=True))
+@click.option("--cache-root", required=True, type=click.Path())
+@click.option("--detector", default="public", show_default=True)
+@click.option("--reid-weights", default=None, help="ReID weights path or model name")
+@click.option("--preprocess", default="resize", show_default=True)
+def generate(data, cache_root, detector, reid_weights, preprocess):
+    """Generate detection (+ embedding) caches for a MOT split."""
+    from boxmot_tpu.engine.generate import run_generate
+
+    reid_model = None
+    reid_name = None
+    if reid_weights:
+        from boxmot_tpu.reid import ReID
+
+        if Path(reid_weights).exists():
+            reid_model = ReID(weights=reid_weights, preprocess_name=preprocess)
+        else:
+            reid_model = ReID(model_name=reid_weights, preprocess_name=preprocess)
+        reid_name = reid_model.model_name
+    stats = run_generate(
+        data,
+        cache_root,
+        detector=detector,
+        reid_model=reid_model,
+        reid_name=reid_name,
+        preprocess=preprocess,
+        verbose=True,
+    )
+    total = sum(s["dets"] for s in stats.values())
+    click.echo(f"cached {total} detections across {len(stats)} sequences")
+
+
+@cli.command()
+@click.option("--source", required=True, type=click.Path(exists=True),
+              help="MOT sequence dir (with img1/) or image directory")
+@click.option("--tracker", default="bytetrack", show_default=True)
+@click.option("--reid-weights", default=None)
+@click.option("--save-txt", type=click.Path(), default=None)
+@click.option("--param", "-p", multiple=True)
+def track(source, tracker, reid_weights, save_txt, param):
+    """Run live tracking over a frame source."""
+    from boxmot_tpu.engine.generate import load_frame
+    from boxmot_tpu.engine.mot_io import convert_to_mot_format, write_mot_results
+    from boxmot_tpu.trackers.zoo import REID_TRACKERS, create_tracker
+
+    source = Path(source)
+    img_dir = source / "img1" if (source / "img1").is_dir() else source
+    frames = sorted(
+        p for p in img_dir.iterdir() if p.suffix.lower() in (".jpg", ".png", ".jpeg")
+    )
+    if not frames:
+        raise click.ClickException(f"no frames under {img_dir}")
+
+    kwargs = _parse_params(param)
+    if reid_weights and tracker in REID_TRACKERS:
+        from boxmot_tpu.reid import ReID
+
+        if Path(reid_weights).exists():
+            kwargs["reid_model"] = ReID(weights=reid_weights)
+        else:
+            kwargs["reid_model"] = ReID(model_name=reid_weights)
+    trk = create_tracker(tracker, **kwargs)
+
+    # Detections: public det.txt if present, else error (detector backends
+    # arrive with the detector subsystem).
+    det_file = source / "det" / "det.txt"
+    if not det_file.exists():
+        raise click.ClickException(
+            "no det/det.txt next to the source; provide cached detections"
+        )
+    from boxmot_tpu.data.mot import MOTSequence
+
+    seq = MOTSequence(source)
+    dets_per_frame = seq.dets_per_frame()
+
+    rows = []
+    for f, img_path in enumerate(frames):
+        img = load_frame(img_path)
+        dets = dets_per_frame[f] if f < len(dets_per_frame) else np.zeros((0, 6), np.float32)
+        out = trk.update(dets, img)
+        if len(out):
+            rows.append(convert_to_mot_format(np.asarray(out), f + 1))
+        click.echo(f"frame {f + 1}/{len(frames)}: {len(out)} tracks")
+    if hasattr(trk, "flush_gta"):
+        gta_rows = trk.flush_gta()
+        if len(gta_rows):
+            rows.append(gta_rows)
+    all_rows = np.concatenate(rows, axis=0) if rows else np.empty((0, 9))
+    if save_txt:
+        write_mot_results(save_txt, all_rows)
+        click.echo(f"wrote {len(all_rows)} rows to {save_txt}")
+
+
+@cli.command()
+def tune():
+    """Hyperparameter tuning (arrives with the tuning subsystem)."""
+    raise click.ClickException("tuning lands in boxmot_tpu.engine.tuning")
+
+
+@cli.command()
+def train():
+    """ReID training (arrives with the training subsystem)."""
+    raise click.ClickException("ReID training lands in boxmot_tpu.reid.training")
+
+
+if __name__ == "__main__":
+    cli()

@@ -25,6 +25,8 @@ from boxmot_tpu.trackers.bytetrack import ByteTrackConfig
 from boxmot_tpu.trackers.ocsort import OcSortConfig
 from boxmot_tpu.trackers.sfsort import SFSortConfig
 from boxmot_tpu.trackers.deepocsort import DeepOcSortConfig
+from boxmot_tpu.trackers.boosttrack import BoostTrackConfig
+from boxmot_tpu.trackers.occluboost import OccluBoostConfig
 
 _TRACKER_CONFIGS = {
     "bytetrack": ByteTrackConfig,
@@ -32,6 +34,8 @@ _TRACKER_CONFIGS = {
     "botsort": BotSortConfig,
     "sfsort": SFSortConfig,
     "deepocsort": DeepOcSortConfig,
+    "boosttrack": BoostTrackConfig,
+    "occluboost": OccluBoostConfig,
 }
 
 
@@ -53,23 +57,51 @@ def run_eval(
     tracker_params: dict | None = None,
     output_dir: Path | None = None,
     min_det_conf: float | None = None,
+    cache_root: Path | None = None,
+    detector: str = "public",
+    reid: str | None = None,
+    preprocess: str = "resize",
     verbose: bool = False,
 ) -> dict:
     """Evaluate a tracker over all sequences under data_root.
 
-    Returns {"per_seq": {...}, "combined": {...}} metric dicts including
-    HOTA, MOTA, IDF1.
+    Detections come from each sequence's public det.txt, or — when
+    cache_root is given — from generated det/emb caches (the reference's
+    replay-from-cache path, engine/eval/replay.py:216-369). Returns
+    {"per_seq": {...}, "combined": {...}} metric dicts including HOTA,
+    MOTA, IDF1.
     """
+    from boxmot_tpu.data.cache import (
+        det_cache_path,
+        emb_cache_path,
+        load_cached_dets_per_frame,
+        load_cached_embs_per_frame,
+    )
+
     dataset = MOTDataset(data_root)
     if len(dataset) == 0:
         raise ValueError(f"no MOT sequences found under {data_root}")
     cfg = build_replay_config(tracker_type, **(tracker_params or {}))
     seq_data = {}
     for seq in dataset:
-        dets = seq.dets_per_frame()
+        embs = None
+        if cache_root is not None:
+            dets = load_cached_dets_per_frame(
+                det_cache_path(cache_root, detector, seq.name), seq.seq_length
+            )
+            if reid is not None:
+                embs = load_cached_embs_per_frame(
+                    emb_cache_path(cache_root, detector, reid, seq.name, preprocess),
+                    seq.seq_length,
+                )
+        else:
+            dets = seq.dets_per_frame()
         if min_det_conf is not None:
-            dets = [d[d[:, 4] >= min_det_conf] for d in dets]
-        mot_rows = replay_sequence(cfg, dets)
+            keep = [d[:, 4] >= min_det_conf for d in dets]
+            dets = [d[k] for d, k in zip(dets, keep)]
+            if embs is not None:
+                embs = [e[k] for e, k in zip(embs, keep)]
+        mot_rows = replay_sequence(cfg, dets, embs_per_frame=embs)
         if output_dir is not None:
             write_mot_results(Path(output_dir) / f"{seq.name}.txt", mot_rows)
         seq_data[seq.name] = preprocess_sequence(

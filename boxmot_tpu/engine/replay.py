@@ -33,7 +33,7 @@ def resolve_tracker(cfg):
     (cfg, state, dets, det_valid, embs, warp); motion-only trackers
     ignore the appearance/warp inputs.
     """
-    from boxmot_tpu.trackers import botsort, bytetrack, deepocsort, ocsort, sfsort
+    from boxmot_tpu.trackers import boosttrack, botsort, bytetrack, deepocsort, occluboost, ocsort, sfsort
 
     if isinstance(cfg, bytetrack.ByteTrackConfig):
         return bytetrack.init_state, (
@@ -51,6 +51,10 @@ def resolve_tracker(cfg):
         return botsort.init_state, botsort.botsort_step
     if isinstance(cfg, deepocsort.DeepOcSortConfig):
         return deepocsort.init_state, deepocsort.deepocsort_step
+    if isinstance(cfg, boosttrack.BoostTrackConfig):
+        return boosttrack.init_state, boosttrack.boosttrack_step
+    if isinstance(cfg, occluboost.OccluBoostConfig):
+        return occluboost.init_state, occluboost.occluboost_step
     if isinstance(cfg, sfsort.SFSortConfig):
         return sfsort.init_state, (
             lambda cfg, st, dets, dv, embs, warp: sfsort.sfsort_step(

@@ -144,12 +144,15 @@ def predict(layout: KFLayout, mean, cov, mask):
     )
 
 
-def update(layout: KFLayout, mean, cov, meas, conf, mask):
+def update(layout: KFLayout, mean, cov, meas, conf, mask, gain_scale=None):
     """Masked batched correction step (base.py:329-358), Joseph form.
 
     meas: (K, dz) per-slot measurement; conf: (K,) detection confidence
     for NSA scaling (GIAOTracker formula in base.py:294-303 — active only
-    when layout.nsa); mask: (K,) slots to update.
+    when layout.nsa); mask: (K,) slots to update; gain_scale: optional
+    (K,) factor applied to the MEAN update only (OccluTrack abnormal
+    motion suppression, motion/kalman_filters/xyhr.py:340-371 — the
+    covariance still contracts normally).
     """
     dz, dx = layout.dz, layout.dx
     r_std = layout.meas_diag(mean)
@@ -164,7 +167,10 @@ def update(layout: KFLayout, mean, cov, meas, conf, mask):
     gain = jnp.einsum("kad,kdz->kaz", cov[:, :, :dz], Sinv)  # (K, dx, dz)
 
     innov = meas - mean[:, :dz]
-    new_mean = mean + jnp.einsum("kz,kaz->ka", innov, gain)
+    delta = jnp.einsum("kz,kaz->ka", innov, gain)
+    if gain_scale is not None:
+        delta = delta * gain_scale[:, None]
+    new_mean = mean + delta
 
     # Joseph form: P = (I - K H) P (I - K H)^T + K R K^T with H = [I 0].
     A = jnp.zeros_like(cov).at[:, jnp.arange(dx), jnp.arange(dx)].set(1.0)
@@ -331,6 +337,60 @@ def make_xywh_layout(
         meas_diag=meas_diag,
         enforce=enforce,
         nsa=nsa,
+    )
+
+
+def make_xyhr_layout(obb: bool = False) -> KFLayout:
+    """[x, y, h, r=w/h] (+theta) constant-velocity filter with BoostTrack's
+    constant noise policy (motion/kalman_filters/xyhr.py:10-110):
+    P0 = 10*I with 1000x velocity block, Q = diag(1, .01 velocities),
+    R = diag([1, 1, 10, 0.01])."""
+    import numpy as np
+
+    dz = 5 if obb else 4
+    dx = 2 * dz
+    p0 = np.array([10.0] * dz + [10000.0] * dz)
+    q = np.array([1.0] * dz + [0.01] * dz)
+    if obb:
+        q[4] = 0.01  # theta process noise (xyhr.py:93-95)
+        r = np.array([1.0, 1.0, 10.0, 0.01, 0.01])
+    else:
+        r = np.array([1.0, 1.0, 10.0, 0.01])
+    p0_std = tuple(np.sqrt(p0))
+    q_std = tuple(np.sqrt(q))
+    r_std = tuple(np.sqrt(r))
+
+    def init_mean(z):
+        if obb:
+            z = z.at[..., 4].set(wrap_angle(z[..., 4]))
+        return jnp.concatenate([z, jnp.zeros_like(z)], axis=-1)
+
+    def init_cov_diag(z):
+        return jnp.broadcast_to(jnp.asarray(p0_std, z.dtype), z.shape[:-1] + (dx,))
+
+    def process_diag(mean):
+        return jnp.broadcast_to(jnp.asarray(q_std, mean.dtype), mean.shape[:-1] + (dx,))
+
+    def meas_diag(mean):
+        return jnp.broadcast_to(jnp.asarray(r_std, mean.dtype), mean.shape[:-1] + (dz,))
+
+    def enforce(mean):
+        mean = mean.at[..., 2].set(jnp.maximum(mean[..., 2], 1e-4))
+        mean = mean.at[..., 3].set(jnp.maximum(mean[..., 3], 1e-4))
+        if obb:
+            mean = mean.at[..., 4].set(wrap_angle(mean[..., 4]))
+        return mean
+
+    return KFLayout(
+        name="xyhr_obb" if obb else "xyhr",
+        dx=dx,
+        dz=dz,
+        motion_mat=_cv_motion_mat(dz),
+        init_mean=init_mean,
+        init_cov_diag=init_cov_diag,
+        process_diag=process_diag,
+        meas_diag=meas_diag,
+        enforce=enforce,
     )
 
 

@@ -14,6 +14,8 @@ TRACKER_MAPPING = {
     "botsort": "boxmot_tpu.trackers.botsort.BotSort",
     "sfsort": "boxmot_tpu.trackers.sfsort.SFSORT",
     "deepocsort": "boxmot_tpu.trackers.deepocsort.DeepOcSort",
+    "boosttrack": "boxmot_tpu.trackers.boosttrack.BoostTrack",
+    "occluboost": "boxmot_tpu.trackers.occluboost.OccluBoost",
 }
 
 # Trackers that consume appearance embeddings (tracker_zoo.py:12).
