@@ -27,6 +27,8 @@ from boxmot_tpu.trackers.sfsort import SFSortConfig
 from boxmot_tpu.trackers.deepocsort import DeepOcSortConfig
 from boxmot_tpu.trackers.boosttrack import BoostTrackConfig
 from boxmot_tpu.trackers.occluboost import OccluBoostConfig
+from boxmot_tpu.trackers.strongsort import StrongSortConfig
+from boxmot_tpu.trackers.hybridsort import HybridSortConfig
 
 _TRACKER_CONFIGS = {
     "bytetrack": ByteTrackConfig,
@@ -36,6 +38,8 @@ _TRACKER_CONFIGS = {
     "deepocsort": DeepOcSortConfig,
     "boosttrack": BoostTrackConfig,
     "occluboost": OccluBoostConfig,
+    "strongsort": StrongSortConfig,
+    "hybridsort": HybridSortConfig,
 }
 
 

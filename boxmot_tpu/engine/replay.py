@@ -33,7 +33,7 @@ def resolve_tracker(cfg):
     (cfg, state, dets, det_valid, embs, warp); motion-only trackers
     ignore the appearance/warp inputs.
     """
-    from boxmot_tpu.trackers import boosttrack, botsort, bytetrack, deepocsort, occluboost, ocsort, sfsort
+    from boxmot_tpu.trackers import boosttrack, botsort, bytetrack, deepocsort, hybridsort, occluboost, ocsort, sfsort, strongsort
 
     if isinstance(cfg, bytetrack.ByteTrackConfig):
         return bytetrack.init_state, (
@@ -55,6 +55,10 @@ def resolve_tracker(cfg):
         return boosttrack.init_state, boosttrack.boosttrack_step
     if isinstance(cfg, occluboost.OccluBoostConfig):
         return occluboost.init_state, occluboost.occluboost_step
+    if isinstance(cfg, strongsort.StrongSortConfig):
+        return strongsort.init_state, strongsort.strongsort_step
+    if isinstance(cfg, hybridsort.HybridSortConfig):
+        return hybridsort.init_state, hybridsort.hybridsort_step
     if isinstance(cfg, sfsort.SFSortConfig):
         return sfsort.init_state, (
             lambda cfg, st, dets, dv, embs, warp: sfsort.sfsort_step(

@@ -340,6 +340,57 @@ def make_xywh_layout(
     )
 
 
+def make_xyscr_layout() -> KFLayout:
+    """[x, y, s=area, c=confidence, r=aspect] score-aware HybridSort filter
+    (motion/kalman_filters/xyscr.py:10-60 + the Q/R/P0 scaling applied by
+    hybridsort.py:127-133): 9-D state with velocities for x, y, s, c."""
+    import numpy as np
+
+    dz, dx = 5, 9
+    F = np.eye(dx)
+    F[0, 5] = F[1, 6] = F[2, 7] = F[3, 8] = 1.0  # x, y, s, c have velocities
+    p0 = np.array([10.0] * 5 + [10000.0] * 4)
+    q = np.ones(dx)
+    q[5:7] *= 0.01
+    q[7] *= 1e-4  # Q[5:,5:] *= .01 then Q[-2,-2] *= .01
+    q[8] *= 1e-4
+    r = np.array([1.0, 1.0, 10.0, 10.0, 10.0])
+    p0_std = tuple(np.sqrt(p0))
+    q_std = tuple(np.sqrt(q))
+    r_std = tuple(np.sqrt(r))
+
+    def init_mean(z):
+        return jnp.concatenate(
+            [z, jnp.zeros(z.shape[:-1] + (dx - dz,), z.dtype)], axis=-1
+        )
+
+    def init_cov_diag(z):
+        return jnp.broadcast_to(jnp.asarray(p0_std, z.dtype), z.shape[:-1] + (dx,))
+
+    def process_diag(mean):
+        return jnp.broadcast_to(jnp.asarray(q_std, mean.dtype), mean.shape[:-1] + (dx,))
+
+    def meas_diag(mean):
+        return jnp.broadcast_to(jnp.asarray(r_std, mean.dtype), mean.shape[:-1] + (dz,))
+
+    def enforce(mean):
+        mean = mean.at[..., 2].set(jnp.maximum(mean[..., 2], 1e-6))
+        mean = mean.at[..., 4].set(jnp.maximum(mean[..., 4], 1e-6))
+        return mean
+
+    return KFLayout(
+        name="xyscr",
+        dx=dx,
+        dz=dz,
+        motion_mat=tuple(map(tuple, F)),
+        init_mean=init_mean,
+        init_cov_diag=init_cov_diag,
+        process_diag=process_diag,
+        meas_diag=meas_diag,
+        enforce=enforce,
+    )
+
+
 def make_xyhr_layout(obb: bool = False) -> KFLayout:
     """[x, y, h, r=w/h] (+theta) constant-velocity filter with BoostTrack's
     constant noise policy (motion/kalman_filters/xyhr.py:10-110):

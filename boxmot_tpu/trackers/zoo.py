@@ -16,6 +16,8 @@ TRACKER_MAPPING = {
     "deepocsort": "boxmot_tpu.trackers.deepocsort.DeepOcSort",
     "boosttrack": "boxmot_tpu.trackers.boosttrack.BoostTrack",
     "occluboost": "boxmot_tpu.trackers.occluboost.OccluBoost",
+    "strongsort": "boxmot_tpu.trackers.strongsort.StrongSort",
+    "hybridsort": "boxmot_tpu.trackers.hybridsort.HybridSort",
 }
 
 # Trackers that consume appearance embeddings (tracker_zoo.py:12).
