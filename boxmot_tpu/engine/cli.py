@@ -46,8 +46,9 @@ def cli():
 @click.option("--detector", default="public", show_default=True)
 @click.option("--reid", default=None, help="reid cache id for appearance replay")
 @click.option("--min-det-conf", type=float, default=None)
+@click.option("--postprocessing", default=None, help="chain e.g. gsi or gbrc,gta")
 @click.option("--param", "-p", multiple=True, help="tracker param key=value (json)")
-def eval(data, tracker, output_dir, cache_root, detector, reid, min_det_conf, param):
+def eval(data, tracker, output_dir, cache_root, detector, reid, min_det_conf, postprocessing, param):
     """Replay cached detections and report HOTA / MOTA / IDF1."""
     from boxmot_tpu.engine.eval import run_eval
 
@@ -60,6 +61,7 @@ def eval(data, tracker, output_dir, cache_root, detector, reid, min_det_conf, pa
         detector=detector,
         reid=reid,
         min_det_conf=min_det_conf,
+        postprocessing=postprocessing,
         verbose=True,
     )
     c = res["combined"]

@@ -65,6 +65,7 @@ def run_eval(
     detector: str = "public",
     reid: str | None = None,
     preprocess: str = "resize",
+    postprocessing: str | None = None,
     verbose: bool = False,
 ) -> dict:
     """Evaluate a tracker over all sequences under data_root.
@@ -106,6 +107,17 @@ def run_eval(
             if embs is not None:
                 embs = [e[k] for e, k in zip(embs, keep)]
         mot_rows = replay_sequence(cfg, dets, embs_per_frame=embs)
+        if postprocessing:
+            from boxmot_tpu.postprocessing import create_postprocessor
+
+            rows = mot_rows.astype(np.float64)
+            for name in filter(None, (n.strip() for n in postprocessing.split(","))):
+                pp = create_postprocessor(name)
+                if name == "gta":
+                    rows = pp(rows, embs_per_frame=embs)
+                else:
+                    rows = pp(rows)
+            mot_rows = rows
         if output_dir is not None:
             write_mot_results(Path(output_dir) / f"{seq.name}.txt", mot_rows)
         seq_data[seq.name] = preprocess_sequence(
