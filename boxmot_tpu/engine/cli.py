@@ -173,9 +173,19 @@ def track(source, tracker, reid_weights, save_txt, param):
 
 
 @cli.command()
-def tune():
-    """Hyperparameter tuning (arrives with the tuning subsystem)."""
-    raise click.ClickException("tuning lands in boxmot_tpu.engine.tuning")
+@click.option("--data", required=True, type=click.Path(exists=True))
+@click.option("--tracker", default="bytetrack", show_default=True)
+@click.option("--n-trials", type=int, default=20, show_default=True)
+@click.option("--work-dir", type=click.Path(), default="tune_results")
+@click.option("--seed", type=int, default=0)
+def tune(data, tracker, n_trials, work_dir, seed):
+    """Tune tracker hyperparameters over cached replays."""
+    from boxmot_tpu.engine.tuning import run_tune
+
+    best = run_tune(data, tracker, n_trials=n_trials, work_dir=work_dir, seed=seed)
+    click.echo(f"best score {best['score']:.4f} with params:")
+    for k, v in best["params"].items():
+        click.echo(f"  {k}: {v}")
 
 
 @cli.command()

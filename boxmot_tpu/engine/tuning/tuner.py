@@ -1,0 +1,161 @@
+"""Tracker hyperparameter tuning.
+
+TPU-native replacement for the reference Ray-Tune orchestration
+(boxmot/engine/tuning/tuner.py:169-733 + search_space.py:140): the
+objective replays cached detections through the jitted on-device replay
+— a full benchmark pass takes milliseconds once compiled — so trials
+run sequentially without any cluster machinery.  Search spaces come from
+the same per-tracker YAML specs that provide runtime defaults.
+
+Supported samplers (search_space.py yaml_to_tune_space parity):
+uniform, loguniform, qrandint (quantized int range), choice, grid_search.
+Trial history persists to trials.json so runs are resumable.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from boxmot_tpu.configs import flatten_config, load_tracker_config
+
+
+def sample_param(spec: dict, rng: np.random.Generator):
+    kind = spec.get("type", "choice")
+    if kind == "uniform":
+        lo, hi = spec["range"]
+        return float(rng.uniform(lo, hi))
+    if kind == "loguniform":
+        lo, hi = spec["range"]
+        return float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+    if kind == "qrandint":
+        lo, hi, q = spec["range"]
+        return int(rng.choice(np.arange(lo, hi, q)))
+    if kind in ("choice", "grid_search"):
+        options = spec.get("options", spec.get("values"))
+        return rng.choice(options).item() if hasattr(rng.choice(options), "item") else rng.choice(options)
+    raise ValueError(f"unknown search space type {kind!r}")
+
+
+def sample_config(specs: dict, rng: np.random.Generator) -> dict:
+    return {k: sample_param(v, rng) for k, v in specs.items()}
+
+
+def default_objective(metrics: dict) -> float:
+    """Combined objective (reference research/tuning convention: HOTA
+    primary with MOTA/IDF1 support)."""
+    return float(metrics["HOTA"] + 0.5 * metrics["MOTA"] + 0.5 * metrics["IDF1"])
+
+
+class Tuner:
+    def __init__(
+        self,
+        data_root: Path,
+        tracker_type: str,
+        base_params: dict | None = None,
+        search_space: dict | None = None,
+        objective=default_objective,
+        work_dir: Path | None = None,
+        seed: int = 0,
+        eval_kwargs: dict | None = None,
+    ):
+        self.data_root = Path(data_root)
+        self.tracker_type = tracker_type
+        self.base_params = dict(base_params or {})
+        self.specs = search_space or load_tracker_config(tracker_type)
+        self.objective = objective
+        self.work_dir = Path(work_dir) if work_dir else None
+        self.rng = np.random.default_rng(seed)
+        self.eval_kwargs = dict(eval_kwargs or {})
+        self.trials: list[dict] = []
+        if self.work_dir:
+            self.work_dir.mkdir(parents=True, exist_ok=True)
+            log = self.work_dir / "trials.json"
+            if log.exists():
+                self.trials = json.loads(log.read_text())
+
+    def _save(self):
+        if self.work_dir:
+            (self.work_dir / "trials.json").write_text(json.dumps(self.trials, indent=1))
+
+    def _evaluate(self, params: dict) -> dict:
+        from boxmot_tpu.engine.eval import run_eval
+
+        res = run_eval(
+            self.data_root,
+            self.tracker_type,
+            tracker_params={**self.base_params, **params},
+            **self.eval_kwargs,
+        )
+        c = res["combined"]
+        return {
+            "HOTA": float(c["HOTA"]),
+            "MOTA": float(c["MOTA"]),
+            "IDF1": float(c["IDF1"]),
+        }
+
+    def fit(self, n_trials: int = 20, include_default: bool = True) -> dict:
+        """Run trials (resuming any persisted history); returns the best."""
+        done_params = {json.dumps(t["params"], sort_keys=True) for t in self.trials}
+        wanted = []
+        if include_default and not self.trials:
+            wanted.append(flatten_config(self.specs))
+        while len(wanted) + len(self.trials) < n_trials:
+            wanted.append(sample_config(self.specs, self.rng))
+
+        for params in wanted:
+            key = json.dumps(params, sort_keys=True)
+            if key in done_params:
+                continue
+            t0 = time.perf_counter()
+            try:
+                metrics = self._evaluate(params)
+                score = self.objective(metrics)
+                error = None
+            except Exception as exc:  # failed trial is recorded, not fatal
+                metrics, score, error = {}, float("-inf"), str(exc)
+            self.trials.append(
+                {
+                    "params": params,
+                    "metrics": metrics,
+                    "score": score,
+                    "error": error,
+                    "seconds": round(time.perf_counter() - t0, 2),
+                }
+            )
+            self._save()
+        return self.best()
+
+    def best(self) -> dict:
+        ok = [t for t in self.trials if t.get("error") is None]
+        if not ok:
+            raise RuntimeError("no successful trials")
+        return max(ok, key=lambda t: t["score"])
+
+
+def run_tune(
+    data_root,
+    tracker_type: str = "bytetrack",
+    n_trials: int = 20,
+    work_dir=None,
+    seed: int = 0,
+    base_params: dict | None = None,
+    eval_kwargs: dict | None = None,
+) -> dict:
+    tuner = Tuner(
+        data_root,
+        tracker_type,
+        base_params=base_params,
+        work_dir=work_dir,
+        seed=seed,
+        eval_kwargs=eval_kwargs,
+    )
+    best = tuner.fit(n_trials=n_trials)
+    if work_dir:
+        import yaml
+
+        (Path(work_dir) / "best.yaml").write_text(yaml.safe_dump(best["params"]))
+    return best

@@ -52,11 +52,28 @@ def create_tracker(
     model wiring lands with the appearance trackers.
     """
     cls = get_tracker_class(tracker_type)
-    params = dict(tracker_config or {})
+    if tracker_config is None:
+        from boxmot_tpu.configs import get_tracker_defaults
+
+        params = get_tracker_defaults(tracker_type)
+    elif isinstance(tracker_config, dict):
+        params = dict(tracker_config)
+    else:
+        # YAML path: load specs and flatten to runtime defaults
+        import yaml
+
+        from boxmot_tpu.configs import flatten_config
+
+        with open(tracker_config) as f:
+            params = flatten_config(yaml.safe_load(f) or {})
     if evolve_param_dict:
         params.update(evolve_param_dict)
     params.update(kwargs)
     params["per_class"] = per_class
+    if reid_weights is not None and tracker_type in REID_TRACKERS:
+        from boxmot_tpu.reid import ReID
+
+        params.setdefault("reid_model", ReID(weights=reid_weights, half=half))
     return cls(**params)
 
 
