@@ -189,9 +189,59 @@ def tune(data, tracker, n_trials, work_dir, seed):
 
 
 @cli.command()
-def train():
-    """ReID training (arrives with the training subsystem)."""
-    raise click.ClickException("ReID training lands in boxmot_tpu.reid.training")
+@click.option("--data", required=True, type=click.Path(exists=True), help="reid dataset root")
+@click.option("--model", default="osnet_x0_25", show_default=True)
+@click.option("--dataset", default="market1501", show_default=True)
+@click.option("--steps", type=int, default=1000, show_default=True)
+@click.option("--lr", type=float, default=3.5e-4)
+@click.option("--p", type=int, default=16, help="identities per batch")
+@click.option("--k", type=int, default=4, help="instances per identity")
+@click.option("--ckpt-dir", type=click.Path(), default="reid_ckpts")
+@click.option("--resume", type=click.Path(exists=True), default=None)
+def train(data, model, dataset, steps, lr, p, k, ckpt_dir, resume):
+    """Train a ReID backbone (CE label-smooth + batch-hard triplet)."""
+    from boxmot_tpu.reid.training.trainer import ReIDTrainer, TrainConfig
+
+    cfg = TrainConfig(
+        model=model, dataset=dataset, data_root=data, steps=steps,
+        base_lr=lr, p=p, k=k, ckpt_dir=ckpt_dir,
+    )
+    trainer = ReIDTrainer(cfg)
+    if resume:
+        trainer.load_checkpoint(resume)
+    trainer.fit(verbose=True)
+    click.echo(f"checkpoints in {ckpt_dir}")
+
+
+@cli.command("eval-reid")
+@click.option("--data", required=True, type=click.Path(exists=True))
+@click.option("--model", default="osnet_x0_25", show_default=True)
+@click.option("--dataset", default="market1501", show_default=True)
+@click.option("--weights", type=click.Path(exists=True), default=None,
+              help="torchreid .pt checkpoint (converted on load)")
+@click.option("--rerank", is_flag=True, default=False)
+def eval_reid(data, model, dataset, weights, rerank):
+    """CMC / mAP ranking evaluation on a ReID dataset."""
+    import jax
+    import jax.numpy as jnp
+
+    from boxmot_tpu.models.osnet import build_osnet
+    from boxmot_tpu.reid.datasets import load_dataset
+    from boxmot_tpu.reid.training.evaluator import evaluate_reid
+
+    ds = load_dataset(dataset, data)
+    net = build_osnet(model)
+    if weights:
+        from boxmot_tpu.models.convert import convert_osnet
+
+        variables = convert_osnet(weights)
+    else:
+        variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 128, 3)))
+    res = evaluate_reid(net, variables, ds, rerank=rerank)
+    click.echo(
+        f"rank-1 {100 * res['rank1']:.2f}  rank-5 {100 * res['rank5']:.2f}  "
+        f"mAP {100 * res['mAP']:.2f}"
+    )
 
 
 if __name__ == "__main__":

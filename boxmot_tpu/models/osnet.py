@@ -35,7 +35,7 @@ class ConvBNReLU(nn.Module):
     groups: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = nn.Conv(
             self.out,
             (self.kernel, self.kernel),
@@ -45,7 +45,7 @@ class ConvBNReLU(nn.Module):
             feature_group_count=self.groups,
             name="conv",
         )(x)
-        x = nn.BatchNorm(use_running_average=True, name="bn")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
         return nn.relu(x)
 
 
@@ -54,11 +54,11 @@ class Conv1x1Linear(nn.Module):
     stride: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = nn.Conv(
             self.out, (1, 1), strides=self.stride, use_bias=False, name="conv"
         )(x)
-        return nn.BatchNorm(use_running_average=True, name="bn")(x)
+        return nn.BatchNorm(use_running_average=not train, name="bn")(x)
 
 
 class LightConv3x3(nn.Module):
@@ -67,7 +67,7 @@ class LightConv3x3(nn.Module):
     out: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = nn.Conv(self.out, (1, 1), use_bias=False, name="conv1")(x)
         x = nn.Conv(
             self.out,
@@ -77,7 +77,7 @@ class LightConv3x3(nn.Module):
             feature_group_count=self.out,
             name="conv2",
         )(x)
-        x = nn.BatchNorm(use_running_average=True, name="bn")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
         return nn.relu(x)
 
 
@@ -103,22 +103,22 @@ class OSBlock(nn.Module):
     reduction: int = 4
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         mid = self.out // self.reduction
         identity = x
-        x1 = ConvBNReLU(mid, kernel=1, name="conv1")(x)
+        x1 = ConvBNReLU(mid, kernel=1, name="conv1")(x, train)
         gate = ChannelGate(mid, name="gate")
         x2 = None
         # stream t has t stacked LightConv3x3 units, t = 1..4
         for t in range(1, 5):
             y = x1
             for u in range(t):
-                y = LightConv3x3(mid, name=f"conv2_{t}_{u}")(y)
+                y = LightConv3x3(mid, name=f"conv2_{t}_{u}")(y, train)
             y = gate(y)
             x2 = y if x2 is None else x2 + y
-        x3 = Conv1x1Linear(self.out, name="conv3")(x2)
+        x3 = Conv1x1Linear(self.out, name="conv3")(x2, train)
         if identity.shape[-1] != self.out:
-            identity = Conv1x1Linear(self.out, name="downsample")(identity)
+            identity = Conv1x1Linear(self.out, name="downsample")(identity, train)
         return nn.relu(x3 + identity)
 
 
@@ -134,28 +134,28 @@ class OSNet(nn.Module):
     feature_dim: int = 512
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         # conv1: 7x7/2 + 3x3/2 maxpool
-        x = ConvBNReLU(self.channels[0], kernel=7, stride=2, name="conv1")(x)
+        x = ConvBNReLU(self.channels[0], kernel=7, stride=2, name="conv1")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         # stages 2..4
         for stage in range(3):
             for b in range(self.blocks[stage]):
                 x = OSBlock(
                     self.channels[stage + 1], name=f"conv{stage + 2}_{b}"
-                )(x)
+                )(x, train)
             if stage < 2:
                 # transition: 1x1 conv + 2x2 average pool stride 2
                 x = ConvBNReLU(
                     self.channels[stage + 1], kernel=1, name=f"transition{stage + 2}"
-                )(x)
+                )(x, train)
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         # conv5: 1x1
-        x = ConvBNReLU(self.channels[3], kernel=1, name="conv5")(x)
+        x = ConvBNReLU(self.channels[3], kernel=1, name="conv5")(x, train)
         # global average pool + fc head
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dense(self.feature_dim, name="fc")(x)
-        x = nn.BatchNorm(use_running_average=True, name="fc_bn")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="fc_bn")(x)
         x = nn.relu(x)
         return x
 

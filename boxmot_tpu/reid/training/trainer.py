@@ -1,0 +1,225 @@
+"""ReID trainer: jitted train step, warmup-cosine schedule, EMA, resume.
+
+JAX/optax re-design of the reference ReIDTrainer
+(boxmot/reid/training/trainer.py:149-1264): the model + classifier head
+train under a combined CE-label-smooth + batch-hard-triplet objective on
+P x K identity-balanced batches; learning rate follows linear warmup into
+cosine decay; an exponential moving average of the parameters is
+maintained; checkpoints carry params / batch stats / optimizer / EMA /
+step / sampler seed so runs resume bit-exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+from boxmot_tpu.models.osnet import build_osnet
+from boxmot_tpu.reid.datasets import PKSampler, load_dataset, make_batch
+from boxmot_tpu.reid.training import losses as L
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: str = "osnet_x0_25"
+    dataset: str = "market1501"
+    data_root: str = ""
+    crop_hw: tuple = (256, 128)
+    p: int = 4  # identities per batch
+    k: int = 4  # instances per identity
+    steps: int = 1000
+    warmup_steps: int = 100
+    base_lr: float = 3.5e-4
+    weight_decay: float = 5e-4
+    triplet_margin: float = 0.3
+    triplet_weight: float = 1.0
+    ce_weight: float = 1.0
+    label_smooth: float = 0.1
+    ema_decay: float = 0.999
+    eval_interval: int = 0  # 0 = only at end
+    seed: int = 0
+    ckpt_dir: str = ""
+
+
+class ReIDClassifier(nn.Module):
+    """Backbone + identity classifier for training."""
+
+    backbone: nn.Module
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = self.backbone(x, train=train)
+        logits = nn.Dense(self.num_classes, name="classifier")(feats)
+        return feats, logits
+
+
+def make_schedule(cfg: TrainConfig):
+    return optax.warmup_cosine_decay_schedule(
+        init_value=cfg.base_lr / 25,
+        peak_value=cfg.base_lr,
+        warmup_steps=cfg.warmup_steps,
+        decay_steps=max(cfg.steps, cfg.warmup_steps + 1),
+        end_value=cfg.base_lr / 1000,
+    )
+
+
+class ReIDTrainer:
+    def __init__(self, cfg: TrainConfig):
+        self.cfg = cfg
+        self.dataset = load_dataset(cfg.dataset, cfg.data_root)
+        self.num_classes = self.dataset.num_train_pids
+        self.model = ReIDClassifier(
+            backbone=build_osnet(cfg.model), num_classes=self.num_classes
+        )
+        self.sampler = PKSampler(self.dataset.train, cfg.p, cfg.k, seed=cfg.seed)
+        self.schedule = make_schedule(cfg)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(5.0),
+            optax.adamw(self.schedule, weight_decay=cfg.weight_decay),
+        )
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        dummy = jnp.zeros((1, *cfg.crop_hw, 3), jnp.float32)
+        variables = self.model.init(rng, dummy, train=False)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.opt_state = self.tx.init(self.params)
+        self.ema_params = jax.tree.map(jnp.copy, self.params)
+        self.step = 0
+        self.history = []
+
+        cfg_static = cfg
+        model = self.model
+        tx = self.tx
+
+        @jax.jit
+        def train_step(params, batch_stats, opt_state, ema, images, labels):
+            def loss_fn(p):
+                (feats, logits), mutated = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    images,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                ce = L.cross_entropy_label_smooth(
+                    logits, labels, cfg_static.label_smooth
+                )
+                tri = L.triplet_loss(feats, labels, cfg_static.triplet_margin)
+                loss = cfg_static.ce_weight * ce + cfg_static.triplet_weight * tri
+                return loss, (mutated["batch_stats"], ce, tri)
+
+            (loss, (new_stats, ce, tri)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            new_ema = jax.tree.map(
+                lambda e, p: cfg_static.ema_decay * e + (1 - cfg_static.ema_decay) * p,
+                ema,
+                new_params,
+            )
+            return new_params, new_stats, new_opt, new_ema, loss, ce, tri
+
+        self._train_step = train_step
+
+    # -- checkpointing -------------------------------------------------
+
+    def save_checkpoint(self, path: Path | None = None):
+        path = Path(path or Path(self.cfg.ckpt_dir) / f"ckpt_{self.step}.pkl")
+        path.parent.mkdir(parents=True, exist_ok=True)
+        state = {
+            "step": self.step,
+            "params": jax.tree.map(np.asarray, self.params),
+            "batch_stats": jax.tree.map(np.asarray, self.batch_stats),
+            "opt_state": jax.tree.map(
+                lambda x: np.asarray(x) if hasattr(x, "shape") else x, self.opt_state
+            ),
+            "ema_params": jax.tree.map(np.asarray, self.ema_params),
+            "history": self.history,
+            "cfg": dataclasses.asdict(self.cfg),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+        return path
+
+    def load_checkpoint(self, path: Path):
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.step = state["step"]
+        self.params = jax.tree.map(jnp.asarray, state["params"])
+        self.batch_stats = jax.tree.map(jnp.asarray, state["batch_stats"])
+        self.opt_state = jax.tree.map(
+            lambda ref, x: jnp.asarray(x) if hasattr(ref, "shape") else x,
+            self.opt_state,
+            state["opt_state"],
+        )
+        self.ema_params = jax.tree.map(jnp.asarray, state["ema_params"])
+        self.history = state["history"]
+
+    # -- training ------------------------------------------------------
+
+    def _next_batch(self):
+        # Deterministic per-step RNG so resume reproduces the data stream.
+        rng = np.random.default_rng((self.cfg.seed, self.step))
+        self.sampler.rng = rng
+        idxs = self.sampler.sample_batch()
+        return make_batch(
+            self.dataset.train, idxs, self.cfg.crop_hw, rng=rng, train=True
+        )
+
+    def fit(self, steps: int | None = None, log_every: int = 50, verbose: bool = False):
+        steps = steps if steps is not None else self.cfg.steps
+        t0 = time.perf_counter()
+        while self.step < steps:
+            images, labels = self._next_batch()
+            (
+                self.params,
+                self.batch_stats,
+                self.opt_state,
+                self.ema_params,
+                loss,
+                ce,
+                tri,
+            ) = self._train_step(
+                self.params,
+                self.batch_stats,
+                self.opt_state,
+                self.ema_params,
+                jnp.asarray(images),
+                jnp.asarray(labels),
+            )
+            self.step += 1
+            if self.step % log_every == 0 or self.step == steps:
+                rec = {
+                    "step": self.step,
+                    "loss": float(loss),
+                    "ce": float(ce),
+                    "triplet": float(tri),
+                    "lr": float(self.schedule(self.step)),
+                    "seconds": round(time.perf_counter() - t0, 1),
+                }
+                self.history.append(rec)
+                if verbose:
+                    print(rec)
+        if self.cfg.ckpt_dir:
+            self.save_checkpoint()
+        return self.history
+
+    # -- inference variables -------------------------------------------
+
+    def backbone_variables(self, ema: bool = True):
+        params = self.ema_params if ema else self.params
+        return {
+            "params": params["backbone"],
+            "batch_stats": self.batch_stats.get("backbone", {}),
+        }
