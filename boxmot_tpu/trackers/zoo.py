@@ -18,6 +18,7 @@ TRACKER_MAPPING = {
     "occluboost": "boxmot_tpu.trackers.occluboost.OccluBoost",
     "strongsort": "boxmot_tpu.trackers.strongsort.StrongSort",
     "hybridsort": "boxmot_tpu.trackers.hybridsort.HybridSort",
+    "sam2mot": "boxmot_tpu.trackers.sam2mot.Sam2Mot",
 }
 
 # Trackers that consume appearance embeddings (tracker_zoo.py:12).
