@@ -109,6 +109,41 @@ def inv_psd_small(S):
     return jnp.stack(rows, axis=-2)
 
 
+def align_obb_to_ref(meas, ref, size_weight: float = 0.05):
+    """Resolve OBB parameterization ambiguity against a reference state.
+
+    meas, ref: (K, 5) [cx, cy, w, h, theta].  A rotated rect equals
+    (w,h,th), (w,h,th+pi), (h,w,th+pi/2), (h,w,th-pi/2); pick the
+    candidate minimizing |wrapped angle delta| + size_weight * log-size
+    difference (KalmanFilterXYWH._align_obb_measurement,
+    motion/kalman_filters/xywh.py:88-133 / base.py:135-160).
+    """
+    eps = 1e-6
+    w = jnp.maximum(meas[..., 2], eps)
+    h = jnp.maximum(meas[..., 3], eps)
+    th = meas[..., 4]
+    ref_w = jnp.maximum(ref[..., 2], eps)
+    ref_h = jnp.maximum(ref[..., 3], eps)
+    ref_th = ref[..., 4]
+
+    cand_w = jnp.stack([w, w, h, h], axis=-1)  # (K, 4)
+    cand_h = jnp.stack([h, h, w, w], axis=-1)
+    cand_t = jnp.stack(
+        [th, th + jnp.pi, th + jnp.pi / 2, th - jnp.pi / 2], axis=-1
+    )
+    aligned_t = ref_th[..., None] + wrap_angle(cand_t - ref_th[..., None])
+    angle_cost = jnp.abs(aligned_t - ref_th[..., None])
+    size_cost = jnp.abs(jnp.log(cand_w / ref_w[..., None])) + jnp.abs(
+        jnp.log(cand_h / ref_h[..., None])
+    )
+    best = jnp.argmin(angle_cost + size_weight * size_cost, axis=-1)
+    take = lambda c: jnp.take_along_axis(c, best[..., None], axis=-1)[..., 0]
+    return jnp.stack(
+        [meas[..., 0], meas[..., 1], take(cand_w), take(cand_h), take(aligned_t)],
+        axis=-1,
+    )
+
+
 def initiate(layout: KFLayout, meas):
     """Create (mean, cov) for new tracks from measurements (K, dz).
 

@@ -37,7 +37,7 @@ from flax import struct
 
 from boxmot_tpu.motion import kalman
 from boxmot_tpu.ops.geometry import xyah2xyxy, xyxy2xyah
-from boxmot_tpu.ops.iou import iou_batch
+from boxmot_tpu.ops.iou import iou_batch, iou_batch_obb
 from boxmot_tpu.ops.lap import masked_assignment
 from boxmot_tpu.trackers.base import BaseTracker
 
@@ -51,6 +51,7 @@ class ByteTrackConfig:
     min_conf: float = 0.1
     det_thresh: float = 0.45  # reference sets det_thresh = track_thresh
     max_time_lost: int = 25
+    is_obb: bool = False  # oriented boxes: XYWH-5 filter + rotated IoU
     capacity: int = 256
 
 
@@ -73,9 +74,10 @@ class ByteTrackState:
 
 def init_state(cfg: ByteTrackConfig) -> ByteTrackState:
     K = cfg.capacity
+    dx = 10 if cfg.is_obb else 8
     return ByteTrackState(
-        mean=jnp.zeros((K, 8), jnp.float32),
-        cov=jnp.zeros((K, 8, 8), jnp.float32),
+        mean=jnp.zeros((K, dx), jnp.float32),
+        cov=jnp.zeros((K, dx, dx), jnp.float32),
         status=jnp.zeros((K,), jnp.int32),
         activated=jnp.zeros((K,), bool),
         tid=jnp.zeros((K,), jnp.int32),
@@ -101,12 +103,19 @@ def bytetrack_step(cfg: ByteTrackConfig, state: ByteTrackState, dets, det_valid)
     """One frame.  dets: (D, 7) [x1,y1,x2,y2,conf,cls,det_ind] padded;
     det_valid: (D,) — padding rows have conf = -1.
     Returns (state, out (K, 8), out_mask (K,))."""
-    layout = kalman.make_xyah_layout()
+    if cfg.is_obb:
+        # OBB: (cx,cy,w,h,angle,conf,cls,det_ind) on the XYWH-5 filter
+        # (reference STrack.shared_kalman_obb, bytetrack.py:18-19)
+        layout = kalman.make_xywh_layout(obb=True)
+        conf_i, cls_i, ind_i = 5, 6, 7
+    else:
+        layout = kalman.make_xyah_layout()
+        conf_i, cls_i, ind_i = 4, 5, 6
     K = cfg.capacity
     D = dets.shape[0]
     frame = state.frame_count + 1
 
-    conf = dets[:, 4]
+    conf = dets[:, conf_i]
     first = det_valid & (conf > cfg.track_thresh)
     second = det_valid & (conf > cfg.min_conf) & (conf < cfg.track_thresh)
 
@@ -117,19 +126,26 @@ def bytetrack_step(cfg: ByteTrackConfig, state: ByteTrackState, dets, det_valid)
     pool = tracked_act | lost
 
     # --- KF predict over the pool (STrack.multi_predict, bytetrack.py:64-82):
-    # lost tracks get their height-velocity zeroed first.
-    mean = state.mean.at[:, 7].set(
-        jnp.where(lost, 0.0, state.mean[:, 7])
-    )
+    # lost tracks get their size/angle velocities zeroed first.
+    if cfg.is_obb:
+        mean = state.mean.at[:, 7:10].set(
+            jnp.where(lost[:, None], 0.0, state.mean[:, 7:10])
+        )
+    else:
+        mean = state.mean.at[:, 7].set(jnp.where(lost, 0.0, state.mean[:, 7]))
     pmean, pcov = kalman.predict(layout, mean, state.cov, pool)
 
-    trk_xyxy = xyah2xyxy(pmean[:, :4])
-    det_xyxy = dets[:, :4]
-    det_xyah = xyxy2xyah(det_xyxy)
-
-    # Shared IoU matrix: rows not updated between passes keep their
-    # pre-update means, so one matrix serves all three association passes.
-    iou = iou_batch(trk_xyxy, det_xyxy)  # (K, D)
+    if cfg.is_obb:
+        det_meas = dets[:, :5]
+        # Shared rotated-IoU matrix over xywha boxes (iou_distance is_obb)
+        iou = iou_batch_obb(pmean[:, :5], det_meas)
+    else:
+        det_xyxy = dets[:, :4]
+        det_meas = xyxy2xyah(det_xyxy)
+        trk_xyxy = xyah2xyxy(pmean[:, :4])
+        # Shared IoU matrix: rows not updated between passes keep their
+        # pre-update means, so one matrix serves all three association passes.
+        iou = iou_batch(trk_xyxy, det_xyxy)  # (K, D)
 
     # --- pass 1: high-conf dets vs pool, fuse_score (matching.py:139-147)
     cost1 = 1.0 - iou * conf[None, :]
@@ -153,7 +169,11 @@ def bytetrack_step(cfg: ByteTrackConfig, state: ByteTrackState, dets, det_valid)
     matched = m1 | m2 | m3
     det_col = jnp.where(m1, r2c1, jnp.where(m2, r2c2, r2c3))
     c = jnp.clip(det_col, 0, D - 1)
-    meas = det_xyah[c]
+    meas = det_meas[c]
+    if cfg.is_obb:
+        # resolve the rotated-rect parameterization against the state
+        # (KalmanFilterXYAH/XYWH OBB update, xywh.py:88-133)
+        meas = kalman.align_obb_to_ref(meas, pmean[:, :5])
     new_mean, new_cov = kalman.update(
         layout, pmean, pcov, meas, jnp.zeros((K,), jnp.float32), matched
     )
@@ -166,8 +186,8 @@ def bytetrack_step(cfg: ByteTrackConfig, state: ByteTrackState, dets, det_valid)
     status = jnp.where(matched, TRACKED, status0)
     activated = state.activated | matched
     conf_s = jnp.where(matched, conf[c], state.conf)
-    cls_s = jnp.where(matched, dets[:, 5][c], state.cls)
-    det_ind_s = jnp.where(matched, dets[:, 6][c], state.det_ind)
+    cls_s = jnp.where(matched, dets[:, cls_i][c], state.cls)
+    det_ind_s = jnp.where(matched, dets[:, ind_i][c], state.det_ind)
     frame_id = jnp.where(matched, frame, state.frame_id)
 
     # --- drop aged-out lost tracks (checked before this frame's new lost,
@@ -197,7 +217,7 @@ def bytetrack_step(cfg: ByteTrackConfig, state: ByteTrackState, dets, det_valid)
     slot_det = det_by_rank[jnp.clip(free_rank, 0, D - 1)]
     slot_det = jnp.clip(slot_det, 0, D - 1)
 
-    init_meas = det_xyah[slot_det]
+    init_meas = det_meas[slot_det]
     init_mean_v, init_cov_v = kalman.initiate(layout, init_meas)
     new_mean = jnp.where(takes[:, None], init_mean_v, new_mean)
     new_cov = jnp.where(takes[:, None, None], init_cov_v, new_cov)
@@ -205,8 +225,8 @@ def bytetrack_step(cfg: ByteTrackConfig, state: ByteTrackState, dets, det_valid)
     activated = jnp.where(takes, frame == 1, activated)
     tid = jnp.where(takes, state.next_id + free_rank, state.tid)
     conf_s = jnp.where(takes, conf[slot_det], conf_s)
-    cls_s = jnp.where(takes, dets[:, 5][slot_det], cls_s)
-    det_ind_s = jnp.where(takes, dets[:, 6][slot_det], det_ind_s)
+    cls_s = jnp.where(takes, dets[:, cls_i][slot_det], cls_s)
+    det_ind_s = jnp.where(takes, dets[:, ind_i][slot_det], det_ind_s)
     frame_id = jnp.where(takes, frame, frame_id)
     start_frame = jnp.where(takes, frame, state.start_frame)
     tracklet_len = jnp.where(takes, 0, tracklet_len)
@@ -214,10 +234,14 @@ def bytetrack_step(cfg: ByteTrackConfig, state: ByteTrackState, dets, det_valid)
     # --- duplicate suppression between tracked and lost sets
     # (remove_duplicate_stracks, bytetrack.py:434-447): pairs closer than
     # IoU distance 0.15 keep the longer-lived track.
-    out_xyxy = xyah2xyxy(new_mean[:, :4])
+    if cfg.is_obb:
+        out_box = new_mean[:, :5]
+        pair_iou = iou_batch_obb(out_box, out_box)
+    else:
+        out_box = xyah2xyxy(new_mean[:, :4])
+        pair_iou = iou_batch(out_box, out_box)
     a_mask = status == TRACKED
     b_mask = status == LOST
-    pair_iou = iou_batch(out_xyxy, out_xyxy)
     close = (1.0 - pair_iou) < 0.15
     pair = close & a_mask[:, None] & b_mask[None, :]
     time_a = (frame_id - start_frame)[:, None]
@@ -230,7 +254,7 @@ def bytetrack_step(cfg: ByteTrackConfig, state: ByteTrackState, dets, det_valid)
     out_mask = (status == TRACKED) & activated
     out = jnp.concatenate(
         [
-            out_xyxy,
+            out_box,
             tid[:, None].astype(jnp.float32),
             conf_s[:, None],
             cls_s[:, None],
@@ -261,7 +285,7 @@ class ByteTrack(BaseTracker):
     """Host wrapper with the reference's constructor surface
     (bytetrack.py:199-257)."""
 
-    supports_obb = False  # OBB path lands with the XYWH-5 measurement model
+    supports_obb = True
 
     def __init__(
         self,
@@ -286,8 +310,13 @@ class ByteTrack(BaseTracker):
             min_conf=min_conf,
             det_thresh=track_thresh,
             max_time_lost=self.max_time_lost,
+            is_obb=self.is_obb,
             capacity=capacity,
         )
+
+    def _set_detection_mode(self, is_obb: bool):
+        super()._set_detection_mode(is_obb)
+        self.cfg = dataclasses.replace(self.cfg, is_obb=is_obb)
 
     def _init_state(self):
         return init_state(self.cfg)
