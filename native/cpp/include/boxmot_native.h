@@ -1,0 +1,61 @@
+/* boxmot_native: C ABI for the host-side runtime hot paths.
+ *
+ * TPU-native counterpart of the reference's native layer
+ * (boxmot/native/cpp/trackers/base: io.cpp npy cache IO, live_c_api.hpp
+ * det marshalling).  The tracker math itself runs as XLA programs on
+ * device; what stays on the (single-core) host is cache IO and the
+ * packing of ragged per-frame detections into the padded tensors the
+ * device consumes — exactly the pieces implemented here.
+ *
+ * Error handling contract mirrors reference c_api.hpp: functions return
+ * 0 on success / negative on failure and bmt_last_error() returns a
+ * thread-local message.
+ */
+
+#ifndef BOXMOT_NATIVE_H
+#define BOXMOT_NATIVE_H
+
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+const char* bmt_version(void);
+const char* bmt_last_error(void);
+
+/* Read a little-endian float32 2-D .npy file.
+ * On success fills *rows/*cols and returns a malloc'd buffer the caller
+ * frees with bmt_free. Returns 0 on success. */
+int bmt_read_npy_f32(const char* path, float** data, int64_t* rows, int64_t* cols);
+
+/* Write a float32 2-D .npy file. Returns 0 on success. */
+int bmt_write_npy_f32(const char* path, const float* data, int64_t rows, int64_t cols);
+
+/* Append rows to an existing float32 2-D .npy file (or create it),
+ * rewriting the header in place — the resumable cache-writer contract
+ * (reference AppendableNpyWriter, data/cache.py:140-259). */
+int bmt_append_npy_f32(const char* path, const float* data, int64_t rows, int64_t cols);
+
+/* Pack detection cache rows into the padded per-frame tensor fed to the
+ * device replay.
+ *   rows: (n_rows, 1 + box_cols + 2) [frame, box..., conf, cls], frame 1-based
+ *   out:  preallocated (n_frames, max_dets, box_cols + 3) float32 buffer
+ *         laid out like engine/replay.pack_frames: padding rows carry
+ *         conf = -1 and unit boxes; a det-index column is appended.
+ * Returns 0 on success; dets beyond max_dets per frame are dropped. */
+int bmt_pack_frames_f32(
+    const float* rows, int64_t n_rows, int64_t n_cols,
+    int64_t n_frames, int64_t max_dets, int box_cols,
+    float* out);
+
+/* Write MOT rows (n, 9) [frame,id,x,y,w,h,conf,cls,ind] as csv text. */
+int bmt_write_mot(const char* path, const double* rows, int64_t n);
+
+void bmt_free(void* ptr);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* BOXMOT_NATIVE_H */
