@@ -39,7 +39,9 @@ def cli():
 
 
 @cli.command()
-@click.option("--data", required=True, type=click.Path(exists=True), help="MOT split dir")
+@click.option("--data", type=click.Path(exists=True), default=None, help="MOT split dir")
+@click.option("--benchmark", default=None, help="benchmark config id (e.g. mot17-mini)")
+@click.option("--split", default=None)
 @click.option("--tracker", default="bytetrack", show_default=True)
 @click.option("--output-dir", type=click.Path(), default=None, help="write MOT txt here")
 @click.option("--cache-root", type=click.Path(), default=None, help="replay from caches")
@@ -48,9 +50,20 @@ def cli():
 @click.option("--min-det-conf", type=float, default=None)
 @click.option("--postprocessing", default=None, help="chain e.g. gsi or gbrc,gta")
 @click.option("--param", "-p", multiple=True, help="tracker param key=value (json)")
-def eval(data, tracker, output_dir, cache_root, detector, reid, min_det_conf, postprocessing, param):
+def eval(data, benchmark, split, tracker, output_dir, cache_root, detector, reid, min_det_conf, postprocessing, param):
     """Replay cached detections and report HOTA / MOTA / IDF1."""
     from boxmot_tpu.engine.eval import run_eval
+
+    if benchmark:
+        from boxmot_tpu.configs.benchmark import load_benchmark, resolve_split_dir
+
+        bcfg = load_benchmark(benchmark)
+        data = data or str(resolve_split_dir(bcfg, split))
+        if detector == "public":
+            detector = bcfg.get("detector", {}).get("id", "public")
+        reid = reid or (bcfg.get("reid", {}) or {}).get("id")
+    if not data:
+        raise click.ClickException("provide --data or --benchmark")
 
     res = run_eval(
         data,

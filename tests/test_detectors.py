@@ -1,0 +1,84 @@
+"""Detectors: registry dispatch, public backend, NMS/decode device ops."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from boxmot_tpu.detectors import Detections, create_detector, get_detector_class
+from boxmot_tpu.detectors.registry import (
+    PublicDetections,
+    RTDetrDetector,
+    UltralyticsDetector,
+    YoloXDetector,
+)
+from boxmot_tpu.ops.nms import batched_class_nms, nms, yolox_decode
+
+
+def test_registry_dispatch():
+    assert get_detector_class("yolox_x_mot17.pt") is YoloXDetector
+    assert get_detector_class("rtdetr_r50.pt") is RTDetrDetector
+    assert get_detector_class("yolo11n.pt") is UltralyticsDetector
+
+
+def test_yolox_backend_requires_weights():
+    with pytest.raises(NotImplementedError):
+        create_detector("yolox_s.pt")
+
+
+def test_public_detections_backend():
+    frames = [
+        np.array([[10, 10, 50, 80, 0.9, 0]], np.float32),
+        np.zeros((0, 6), np.float32),
+    ]
+    det = PublicDetections(frames)
+    img = np.zeros((100, 100, 3), np.uint8)
+    out1 = det(img)
+    assert isinstance(out1, Detections) and len(out1) == 1
+    assert out1.as_dets().shape == (1, 6)
+    out2 = det(img)
+    assert len(out2) == 0
+
+
+class TestNMS:
+    def test_greedy_semantics(self):
+        boxes = jnp.asarray(
+            [
+                [0, 0, 10, 10],
+                [1, 1, 11, 11],  # heavy overlap with 0, lower score
+                [50, 50, 60, 60],
+                [0, 0, 0, 0],  # invalid
+            ],
+            jnp.float32,
+        )
+        scores = jnp.asarray([0.9, 0.8, 0.7, -1.0])
+        keep, mask = nms(boxes, scores, 0.5, max_out=4)
+        kept = np.asarray(keep)[np.asarray(mask)]
+        assert kept.tolist() == [0, 2]
+
+    def test_class_aware(self):
+        boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11]], jnp.float32)
+        scores = jnp.asarray([0.9, 0.8])
+        classes = jnp.asarray([0, 1])
+        keep, mask = batched_class_nms(boxes, scores, classes, 0.5, max_out=4)
+        kept = np.asarray(keep)[np.asarray(mask)]
+        assert sorted(kept.tolist()) == [0, 1]  # different classes both survive
+
+    def test_empty(self):
+        boxes = jnp.zeros((4, 4), jnp.float32)
+        scores = jnp.full((4,), -1.0)
+        keep, mask = nms(boxes, scores, 0.5, max_out=4)
+        assert not np.asarray(mask).any()
+
+
+def test_yolox_decode_shapes_and_geometry():
+    img_hw = (64, 64)
+    n_anchors = sum((img_hw[0] // s) * (img_hw[1] // s) for s in (8, 16, 32))
+    raw = np.zeros((n_anchors, 5 + 3), np.float32)
+    # anchor 0 of stride 8 at grid (0,0): offset (.5,.5) -> center (4,4); wh=exp(0)*8
+    raw[0, :2] = 0.5
+    raw[0, 4] = 10.0  # high objectness
+    boxes, obj, cls = yolox_decode(jnp.asarray(raw), img_hw=img_hw)
+    assert boxes.shape == (n_anchors, 4)
+    np.testing.assert_allclose(np.asarray(boxes[0]), [0, 0, 8, 8], atol=1e-5)
+    assert float(obj[0]) > 0.99
+    assert cls.shape == (n_anchors, 3)
