@@ -226,6 +226,22 @@ def train(data, model, dataset, steps, lr, p, k, ckpt_dir, resume):
     click.echo(f"checkpoints in {ckpt_dir}")
 
 
+@cli.command()
+@click.option("--data", required=True, type=click.Path(exists=True))
+@click.option("--tracker", default="bytetrack", show_default=True)
+@click.option("--n-candidates", type=int, default=10, show_default=True)
+@click.option("--work-dir", type=click.Path(), default="research_results")
+@click.option("--seed", type=int, default=0)
+def research(data, tracker, n_candidates, work_dir, seed):
+    """Iterative candidate-proposal research loop over a benchmark."""
+    from boxmot_tpu.engine.research import run_research
+
+    best = run_research(data, tracker, n_candidates=n_candidates, work_dir=work_dir, seed=seed)
+    click.echo(f"best score {best['score']:+.4f}  HOTA {100 * best['metrics']['HOTA']:.2f}")
+    for k, v in best["params"].items():
+        click.echo(f"  {k}: {v}")
+
+
 @cli.command("eval-reid")
 @click.option("--data", required=True, type=click.Path(exists=True))
 @click.option("--model", default="osnet_x0_25", show_default=True)

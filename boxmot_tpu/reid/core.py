@@ -22,12 +22,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from boxmot_tpu.models import convert as convert_mod
+from boxmot_tpu.models.backbones import (
+    build_mobilenetv2,
+    build_resnet50,
+    build_resnet101,
+)
 from boxmot_tpu.models.osnet import OSNET_VARIANTS, build_osnet
 from boxmot_tpu.ops.crops import extract_crops
 
 CROP_BUCKETS = (1, 8, 16, 32, 64, 128, 256)
 
 MODEL_FACTORY = {name: partial(build_osnet, name) for name in OSNET_VARIANTS}
+MODEL_FACTORY.update(
+    {
+        "resnet50": build_resnet50,
+        "resnet101": build_resnet101,
+        "mobilenetv2": build_mobilenetv2,
+    }
+)
 
 
 def infer_model_name(weights: str | Path | None) -> str:

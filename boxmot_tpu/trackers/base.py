@@ -208,6 +208,14 @@ class BaseTracker:
             state = self._per_class_states.get(cls_id)
             if state is None:
                 state = self._init_state()
+                # the reference's global id counter keeps ids unique across
+                # classes; per-class states get disjoint id ranges instead
+                if hasattr(state, "next_id"):
+                    import jax.numpy as jnp
+
+                    state = state.replace(
+                        next_id=state.next_id + cls_id * 1_000_000
+                    )
 
         padded, n = self._pad_dets(dets)
         import jax.numpy as jnp

@@ -1,0 +1,59 @@
+"""Frame sources + per-class tracking dispatch."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from boxmot_tpu.data.loaders import iter_source
+
+FIXTURE = Path(__file__).resolve().parent.parent / "assets" / "MOT17-mini" / "train"
+
+
+def test_iter_mot_sequence_dir():
+    frames = list(iter_source(FIXTURE / "MOT17-02-FRCNN"))
+    assert len(frames) == 4
+    path, img = frames[0]
+    assert img.ndim == 3 and img.shape[2] == 3
+    assert img.dtype == np.uint8
+
+
+def test_vid_stride():
+    frames = list(iter_source(FIXTURE / "MOT17-02-FRCNN", vid_stride=2))
+    assert len(frames) == 2
+
+
+def test_single_image():
+    img_path = next((FIXTURE / "MOT17-02-FRCNN" / "img1").glob("*.jpg"))
+    frames = list(iter_source(img_path))
+    assert len(frames) == 1
+
+
+def test_glob_pattern():
+    pattern = str(FIXTURE / "MOT17-02-FRCNN" / "img1" / "*.jpg")
+    frames = list(iter_source(pattern))
+    assert len(frames) == 4
+
+
+def test_missing_source_raises():
+    with pytest.raises(FileNotFoundError):
+        list(iter_source("/nonexistent/*.jpg"))
+
+
+def test_per_class_tracking():
+    """per_class=True keeps identities separated per object class
+    (BaseTracker._do_update per-class dispatch)."""
+    from boxmot_tpu.trackers.bytetrack import ByteTrack
+
+    trk = ByteTrack(per_class=True, nr_classes=3)
+    img = np.zeros((480, 640, 3), np.uint8)
+    # identical boxes, different classes -> distinct ids, never merged
+    for _ in range(3):
+        dets = np.array(
+            [[100, 100, 160, 260, 0.9, 0.0], [100, 100, 160, 260, 0.9, 2.0]],
+            np.float32,
+        )
+        out = trk.update(dets, img)
+    assert out.shape[0] == 2
+    assert len(set(out.id.astype(int))) == 2
+    assert set(out.cls.astype(int)) == {0, 2}

@@ -1,0 +1,76 @@
+"""Exporters: checkpoint roundtrip, torch state dict, tflite parity."""
+
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from boxmot_tpu.models.osnet import build_osnet
+from boxmot_tpu.reid import exporters as E
+
+HW = (64, 32)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = build_osnet("osnet_x0_25")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *HW, 3)))
+    return model, jax.tree.map(np.asarray, variables)
+
+
+def test_checkpoint_roundtrip(model_and_vars, tmp_path):
+    model, variables = model_and_vars
+    path = E.export_checkpoint(variables, tmp_path / "model.msgpack")
+    back = E.load_checkpoint(variables, path)
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (1, *HW, 3)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(model.apply(variables, x)),
+        np.asarray(model.apply(back, x)),
+        atol=0,
+    )
+
+
+def test_torch_state_dict_export(model_and_vars, tmp_path):
+    import torch
+
+    _, variables = model_and_vars
+    path = E.export_torch_state_dict(variables, tmp_path / "osnet.pt")
+    ckpt = torch.load(path, weights_only=False)
+    assert "state_dict" in ckpt
+    assert "conv1.conv.weight" in ckpt["state_dict"]
+    # reconvert to flax and verify identity
+    from boxmot_tpu.models.convert import convert_osnet
+
+    back = convert_osnet(str(path))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(variables["params"]),
+        jax.tree_util.tree_leaves(back["params"]),
+    ):
+        np.testing.assert_allclose(a, b, atol=1e-7)
+
+
+def test_tflite_export_and_parity(model_and_vars, tmp_path):
+    model, variables = model_and_vars
+    path = E.export_tflite(model, variables, tmp_path / "osnet.tflite", hw=HW)
+    dev = E.verify_export(model, variables, path, hw=HW, atol=2e-2)
+    assert dev < 2e-2
+
+
+def test_tflite_dynamic_quant(model_and_vars, tmp_path):
+    model, variables = model_and_vars
+    path = E.export_tflite(
+        model, variables, tmp_path / "osnet_q.tflite", hw=HW, quantize="dynamic"
+    )
+    x = np.random.default_rng(1).uniform(-1, 1, (1, *HW, 3)).astype(np.float32)
+    out = E.run_tflite(path, x)
+    ref = np.asarray(model.apply(variables, jnp.asarray(x)))
+    # quantized outputs correlate strongly with the float reference
+    corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.98
+
+
+def test_onnx_gated():
+    with pytest.raises(ImportError):
+        E.export_onnx()
