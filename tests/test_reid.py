@@ -145,5 +145,6 @@ class TestReIDFacade:
     def test_infer_model_name(self):
         assert infer_model_name("/x/osnet_x0_25_msmt17.pt") == "osnet_x0_25"
         assert infer_model_name("osnet_x1_0_market.pth") == "osnet_x1_0"
+        assert infer_model_name("resnet50_msmt17.pt") == "resnet50"
         with pytest.raises(ValueError):
-            infer_model_name("resnet50_foo.pt")
+            infer_model_name("unknown_backbone_foo.pt")
