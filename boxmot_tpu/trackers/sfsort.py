@@ -16,6 +16,14 @@ Reference quirks preserved:
   * default timeouts of 0 purge lost tracks immediately;
   * output ids start at 0 and every active track is emitted (no
     min-hits warm-up).
+
+OBB mode (sfsort.py:484-552): boxes are (cx, cy, w, h, theta); the BBSI
+cost uses rotated IoU, min/max width/height ratios for sw/sh, and the
+AABB hulls of the rotated corners for the outer diagonal.  Matched
+updates first resolve the 4-way OBB parameterization ambiguity against
+the track state (the same alignment the OBB Kalman layouts use), then
+smooth the angle with a damped theta-velocity
+(sfsort.py:130-144: tv = d*tv + (1-d)*delta, theta += tv).
 """
 
 from __future__ import annotations
@@ -28,6 +36,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from boxmot_tpu.motion.kalman import align_obb_to_ref
+from boxmot_tpu.ops.geometry import obb_corners, wrap_angle
+from boxmot_tpu.ops.iou import iou_batch_obb
 from boxmot_tpu.ops.lap import masked_assignment
 from boxmot_tpu.trackers.base import BaseTracker
 
@@ -48,12 +59,15 @@ class SFSortConfig:
     match_th_first_m: float = 0.0
     marginal_timeout: int = 0
     central_timeout: int = 0
+    is_obb: bool = False
+    obb_theta_damping: float = 0.8
     capacity: int = 256
 
 
 @struct.dataclass
 class SFSortState:
-    bbox: jax.Array  # (K, 4) last matched box
+    bbox: jax.Array  # (K, 4) last matched box, (K, 5) xywha in OBB mode
+    theta_vel: jax.Array  # (K,) damped angle velocity (OBB; zeros for AABB)
     status: jax.Array  # (K,)
     tid: jax.Array
     conf: jax.Array
@@ -69,8 +83,13 @@ def init_state(cfg: SFSortConfig, margins=None) -> SFSortState:
     K = cfg.capacity
     if margins is None:
         margins = jnp.asarray([0.0, 1e9, 0.0, 1e9], jnp.float32)
+    B = 5 if cfg.is_obb else 4
+    bbox = jnp.zeros((K, B), jnp.float32)
+    if cfg.is_obb:
+        bbox = bbox.at[:, 2:4].set(1.0)  # unit boxes: rotated IoU stays finite
     return SFSortState(
-        bbox=jnp.zeros((K, 4), jnp.float32),
+        bbox=bbox,
+        theta_vel=jnp.zeros((K,), jnp.float32),
         status=jnp.full((K,), EMPTY, jnp.int32),
         tid=jnp.zeros((K,), jnp.int32),
         conf=jnp.zeros((K,), jnp.float32),
@@ -121,6 +140,39 @@ def bbsi_cost(trk, det):
     return 1.0 - (diou + sh + sw) / 3.0
 
 
+def _obb_hull(boxes):
+    """AABB hull [x1,y1,x2,y2] of rotated boxes (sfsort.py:485-492)."""
+    corners = obb_corners(boxes)  # (K, 4, 2)
+    lo = corners.min(axis=-2)
+    hi = corners.max(axis=-2)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def bbsi_cost_obb(trk, det):
+    """OBB BBSI cost (sfsort.py:514-552): rotated IoU, min/max w-h ratio
+    similarity terms, and L1 diagonals over the corner AABB hulls."""
+    eps = 1e-7
+    iou = iou_batch_obb(trk, det)
+    sw = jnp.minimum(trk[:, None, 2], det[None, :, 2]) / (
+        jnp.maximum(trk[:, None, 2], det[None, :, 2]) + eps
+    )
+    sh = jnp.minimum(trk[:, None, 3], det[None, :, 3]) / (
+        jnp.maximum(trk[:, None, 3], det[None, :, 3]) + eps
+    )
+    inner = jnp.abs(trk[:, None, 0] - det[None, :, 0]) + jnp.abs(
+        trk[:, None, 1] - det[None, :, 1]
+    )
+    t_hull = _obb_hull(trk)
+    d_hull = _obb_hull(det)
+    xxc1 = jnp.minimum(t_hull[:, None, 0], d_hull[None, :, 0])
+    yyc1 = jnp.minimum(t_hull[:, None, 1], d_hull[None, :, 1])
+    xxc2 = jnp.maximum(t_hull[:, None, 2], d_hull[None, :, 2])
+    yyc2 = jnp.maximum(t_hull[:, None, 3], d_hull[None, :, 3])
+    outer = jnp.maximum(jnp.abs(xxc2 - xxc1) + jnp.abs(yyc2 - yyc1), eps)
+    diou = iou - inner / outer
+    return 1.0 - (diou + sh + sw) / 3.0
+
+
 def iou_cost(trk, det):
     eps = 1e-7
     xx1 = jnp.maximum(trk[:, None, 0], det[None, :, 0])
@@ -137,9 +189,10 @@ def iou_cost(trk, det):
 def sfsort_step(cfg: SFSortConfig, state: SFSortState, dets, det_valid):
     K = cfg.capacity
     D = dets.shape[0]
+    B = 5 if cfg.is_obb else 4
     frame = state.frame_count + 1
-    conf = dets[:, 4]
-    det_box = dets[:, :4]
+    conf = dets[:, B]
+    det_box = dets[:, :B]
 
     # dynamic thresholds (sfsort.py:395-407)
     if cfg.dynamic_tuning:
@@ -170,7 +223,10 @@ def sfsort_step(cfg: SFSortConfig, state: SFSortState, dets, det_valid):
     any_inter = jnp.any(inter)
 
     # pass 1: BBSI cost, cost_limit = mth
-    cost1 = bbsi_cost(state.bbox, det_box)
+    if cfg.is_obb:
+        cost1 = bbsi_cost_obb(state.bbox, det_box)
+    else:
+        cost1 = bbsi_cost(state.bbox, det_box)
     r2c1 = masked_assignment(cost1, pool, high, mth)
     m1 = (r2c1 >= 0) & any_high
     dm1 = jnp.zeros((D,), bool).at[jnp.where(m1, r2c1, D)].set(True, mode="drop")
@@ -178,17 +234,32 @@ def sfsort_step(cfg: SFSortConfig, state: SFSortState, dets, det_valid):
     # pass 2: intermediate dets vs pass-1 unmatched pool, IoU only —
     # only runs when there were high detections (len(unmatched_tracks))
     u_pool = pool & ~m1
-    cost2 = iou_cost(state.bbox, det_box)
+    if cfg.is_obb:
+        cost2 = 1.0 - iou_batch_obb(state.bbox, det_box)
+    else:
+        cost2 = iou_cost(state.bbox, det_box)
     r2c2 = masked_assignment(cost2, u_pool, inter, cfg.match_th_second)
     m2 = (r2c2 >= 0) & any_high & any_inter
 
     matched = m1 | m2
     det_col = jnp.clip(jnp.where(m1, r2c1, r2c2), 0, D - 1)
 
-    bbox = jnp.where(matched[:, None], det_box[det_col], state.bbox)
+    meas = det_box[det_col]
+    theta_vel = state.theta_vel
+    if cfg.is_obb:
+        # Align the 4-way OBB parameterization to the track, then smooth
+        # the angle with a damped velocity (sfsort.py:69-144).
+        aligned = align_obb_to_ref(meas, state.bbox)
+        prev_theta = state.bbox[:, 4]
+        delta = wrap_angle(aligned[:, 4] - prev_theta)
+        d = cfg.obb_theta_damping
+        new_tv = d * theta_vel + (1.0 - d) * delta
+        theta_vel = jnp.where(matched, new_tv, theta_vel)
+        meas = aligned.at[:, 4].set(wrap_angle(prev_theta + new_tv))
+    bbox = jnp.where(matched[:, None], meas, state.bbox)
     conf_s = jnp.where(matched, conf[det_col], state.conf)
-    cls_s = jnp.where(matched, dets[:, 5][det_col], state.cls)
-    det_ind_s = jnp.where(matched, dets[:, 6][det_col], state.det_ind)
+    cls_s = jnp.where(matched, dets[:, B + 1][det_col], state.cls)
+    det_ind_s = jnp.where(matched, dets[:, B + 2][det_col], state.det_ind)
     last_frame = jnp.where(matched, frame, state.last_frame)
     status = jnp.where(matched, ACTIVE, status)
 
@@ -196,8 +267,11 @@ def sfsort_step(cfg: SFSortConfig, state: SFSortState, dets, det_valid):
     # active this frame means matched; everything else in the pool goes
     # lost — or is dropped entirely when no association ran at all.
     was_active_unmatched = pool & ~matched
-    u = (bbox[:, 0] + bbox[:, 2]) / 2.0
-    v = (bbox[:, 1] + bbox[:, 3]) / 2.0
+    if cfg.is_obb:
+        u, v = bbox[:, 0], bbox[:, 1]  # xywha center (sfsort.py:420-421)
+    else:
+        u = (bbox[:, 0] + bbox[:, 2]) / 2.0
+        v = (bbox[:, 1] + bbox[:, 3]) / 2.0
     l, r, t, b = state.margins[0], state.margins[1], state.margins[2], state.margins[3]
     central = (l < u) & (u < r) & (t < v) & (v < b)
     lost_state = jnp.where(central, LOST_CENTRAL, LOST_MARGINAL)
@@ -230,9 +304,10 @@ def sfsort_step(cfg: SFSortConfig, state: SFSortState, dets, det_valid):
     status = jnp.where(takes, ACTIVE, status)
     tid = jnp.where(takes, state.next_id + free_rank, state.tid)
     conf_s = jnp.where(takes, conf[slot_det], conf_s)
-    cls_s = jnp.where(takes, dets[:, 5][slot_det], cls_s)
-    det_ind_s = jnp.where(takes, dets[:, 6][slot_det], det_ind_s)
+    cls_s = jnp.where(takes, dets[:, B + 1][slot_det], cls_s)
+    det_ind_s = jnp.where(takes, dets[:, B + 2][slot_det], det_ind_s)
     last_frame = jnp.where(takes, frame, last_frame)
+    theta_vel = jnp.where(takes, 0.0, theta_vel)
 
     out_mask = (status == ACTIVE) & (last_frame == frame)
     out = jnp.concatenate(
@@ -251,6 +326,7 @@ def sfsort_step(cfg: SFSortConfig, state: SFSortState, dets, det_valid):
 
     new_state = SFSortState(
         bbox=bbox,
+        theta_vel=theta_vel,
         status=status,
         tid=tid,
         conf=conf_s,
@@ -267,7 +343,7 @@ def sfsort_step(cfg: SFSortConfig, state: SFSortState, dets, det_valid):
 class SFSORT(BaseTracker):
     """Host wrapper mirroring the reference constructor (sfsort.py:197-258)."""
 
-    supports_obb = False
+    supports_obb = True
 
     def __init__(
         self,
@@ -283,6 +359,7 @@ class SFSORT(BaseTracker):
         match_th_first_m: float = 0.0,
         marginal_timeout: int = 0,
         central_timeout: int = 0,
+        obb_theta_damping: float = 0.8,
         frame_width=None,
         frame_height=None,
         horizontal_margin=None,
@@ -310,9 +387,15 @@ class SFSORT(BaseTracker):
             else clamp(match_th_first_m, 0.02, 0.08),
             marginal_timeout=int(clamp(marginal_timeout, 0, 500)),
             central_timeout=int(clamp(central_timeout, 0, 1000)),
+            is_obb=self.is_obb,
+            obb_theta_damping=clamp(obb_theta_damping, 0.0, 1.0),
             capacity=capacity,
         )
         self._margin_cfg = (frame_width, frame_height, horizontal_margin, vertical_margin)
+
+    def _set_detection_mode(self, is_obb: bool):
+        super()._set_detection_mode(is_obb)
+        self.cfg = dataclasses.replace(self.cfg, is_obb=is_obb)
 
     def _margins(self):
         fw, fh, hm, vm = self._margin_cfg

@@ -1,9 +1,10 @@
-"""OBB tracking path: ByteTrack on oriented boxes."""
+"""OBB tracking path: ByteTrack and SFSORT on oriented boxes."""
 
 import numpy as np
 import pytest
 
 from boxmot_tpu.trackers.bytetrack import ByteTrack
+from boxmot_tpu.trackers.sfsort import SFSORT
 
 IMG = np.zeros((480, 640, 3), np.uint8)
 
@@ -67,6 +68,58 @@ def test_obb_low_conf_second_stage():
     low = np.array([obb_det(104, 101, conf=0.3)], np.float32)
     out = trk.update(low, IMG)
     assert out.shape[0] == 1 and int(out.id[0]) == 1
+
+
+class TestSFSortOBB:
+    def test_contract(self):
+        trk = SFSORT()
+        out = trk.update(np.array([obb_det(100, 100)], np.float32), IMG)
+        assert out.shape == (1, 9)
+        assert out.is_obb
+        assert int(out.id[0]) == 0  # SFSORT ids start at 0
+        np.testing.assert_allclose(out.xywha[0], [100, 100, 60, 24, 0.4], atol=1e-4)
+
+    def test_identity_under_motion_and_rotation(self):
+        trk = SFSORT()
+        for f in range(12):
+            d = np.array(
+                [obb_det(100 + 6 * f, 100 + 2 * f, angle=0.4 + 0.02 * f)], np.float32
+            )
+            out = trk.update(d, IMG)
+            assert out.id.astype(int).tolist() == [0]
+
+    def test_angle_flip_keeps_parameterization(self):
+        trk = SFSORT()
+        for _ in range(3):
+            trk.update(np.array([obb_det(100, 100, w=60, h=24, angle=0.2)], np.float32), IMG)
+        flipped = np.array(
+            [obb_det(100, 100, w=24, h=60, angle=0.2 + np.pi / 2)], np.float32
+        )
+        out = trk.update(flipped, IMG)
+        assert int(out.id[0]) == 0
+        assert out.xywha[0, 2] > out.xywha[0, 3]
+        np.testing.assert_allclose(out.xywha[0, 4], 0.2, atol=1e-4)
+
+    def test_theta_velocity_damping(self):
+        # A sudden 0.3 rad jump moves the state angle by (1 - damping) * 0.3.
+        trk = SFSORT(obb_theta_damping=0.8)
+        for _ in range(5):
+            trk.update(np.array([obb_det(100, 100, angle=0.2)], np.float32), IMG)
+        out = trk.update(np.array([obb_det(100, 100, angle=0.5)], np.float32), IMG)
+        np.testing.assert_allclose(out.xywha[0, 4], 0.2 + 0.2 * 0.3, atol=1e-4)
+
+    def test_second_pass_rotated_iou(self):
+        trk = SFSORT()
+        for _ in range(2):
+            trk.update(
+                np.array([obb_det(100, 100), obb_det(300, 200, angle=-0.3)], np.float32),
+                IMG,
+            )
+        mixed = np.array(
+            [obb_det(100, 100), obb_det(302, 201, angle=-0.3, conf=0.3)], np.float32
+        )
+        out = trk.update(mixed, IMG)
+        assert sorted(out.id.astype(int).tolist()) == [0, 1]
 
 
 def test_obb_rejected_by_non_obb_tracker():
