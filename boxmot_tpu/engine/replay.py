@@ -89,23 +89,26 @@ def _bucket(n, buckets):
     raise ValueError(f"{n} exceeds largest bucket {buckets[-1]}")
 
 
-def pack_frames(dets_per_frame, D=None, F=None):
-    """Pack a list of (Ni, 6) det arrays into (F, D, 7) with det indices.
+def pack_frames(dets_per_frame, D=None, F=None, det_cols: int = 6):
+    """Pack a list of (Ni, det_cols) det arrays into (F, D, det_cols + 1)
+    with det indices appended.  det_cols is 6 for AABB [x1,y1,x2,y2,conf,cls]
+    and 7 for OBB [cx,cy,w,h,theta,conf,cls].
 
     Padding rows have conf = -1 and unit boxes (NaN-safe downstream).
     """
+    conf_idx = det_cols - 2
     n_frames = len(dets_per_frame)
     max_d = max((len(d) for d in dets_per_frame), default=1)
     D = D or _bucket(max(max_d, 1), DET_BUCKETS)
     F = F or _bucket(max(n_frames, 1), FRAME_BUCKETS)
-    out = np.zeros((F, D, 7), np.float32)
+    out = np.zeros((F, D, det_cols + 1), np.float32)
     out[:, :, 2:4] = 1.0
-    out[:, :, 4] = -1.0
+    out[:, :, conf_idx] = -1.0
     for f, d in enumerate(dets_per_frame):
         n = len(d)
         if n:
-            out[f, :n, :6] = d[:, :6]
-            out[f, :n, 6] = np.arange(n)
+            out[f, :n, :det_cols] = d[:, :det_cols]
+            out[f, :n, det_cols] = np.arange(n)
     return out, n_frames
 
 
@@ -124,9 +127,11 @@ def scan_replay(cfg, state, dets_seq, embs_seq=None, warps_seq=None):
     if warps_seq is None:
         warps_seq = _default_warps(F)
 
+    conf_i = 5 if getattr(cfg, "is_obb", False) else 4
+
     def step(state, xs):
         frame_dets, embs, warp = xs
-        det_valid = frame_dets[:, 4] >= 0.0
+        det_valid = frame_dets[:, conf_i] >= 0.0
         state, out, mask = step_fn(cfg, state, frame_dets, det_valid, embs, warp)
         return state, (out, mask)
 
@@ -173,7 +178,8 @@ def replay_sequence(cfg, dets_per_frame, embs_per_frame=None, warps=None, frame_
 
     frame_offset shifts emitted frame numbers (frames are 1-based).
     """
-    packed, n_frames = pack_frames(dets_per_frame)
+    det_cols = 7 if getattr(cfg, "is_obb", False) else 6
+    packed, n_frames = pack_frames(dets_per_frame, det_cols=det_cols)
     embs = None
     if embs_per_frame is not None:
         embs = jnp.asarray(

@@ -144,6 +144,42 @@ def align_obb_to_ref(meas, ref, size_weight: float = 0.05):
     )
 
 
+def align_obb_xysr(z, ref, size_weight: float = 0.05):
+    """Resolve OBB parameterization ambiguity in XYSR measurement space.
+
+    z, ref: (K, 5) [cx, cy, s, r, theta].  A rotated rect equals
+    (s, r, th), (s, r, th+pi), (s, 1/r, th+pi/2), (s, 1/r, th-pi/2);
+    pick the candidate minimizing |wrapped angle delta| +
+    size_weight * |log(r / ref_r)| (KalmanFilterXYSR._align_obb_measurement,
+    motion/kalman_filters/xysr.py:96-136 / base.py:130-160).
+    """
+    eps = 1e-6
+    r = jnp.maximum(z[..., 3], eps)
+    th = wrap_angle(z[..., 4])
+    ref_r = jnp.maximum(ref[..., 3], eps)
+    ref_th = ref[..., 4]
+
+    cand_r = jnp.stack([r, r, 1.0 / r, 1.0 / r], axis=-1)  # (K, 4)
+    cand_t = jnp.stack(
+        [th, th + jnp.pi, th + jnp.pi / 2, th - jnp.pi / 2], axis=-1
+    )
+    aligned_t = ref_th[..., None] + wrap_angle(cand_t - ref_th[..., None])
+    angle_cost = jnp.abs(aligned_t - ref_th[..., None])
+    size_cost = jnp.abs(jnp.log(cand_r / ref_r[..., None]))
+    best = jnp.argmin(angle_cost + size_weight * size_cost, axis=-1)
+    take = lambda c: jnp.take_along_axis(c, best[..., None], axis=-1)[..., 0]
+    return jnp.stack(
+        [
+            z[..., 0],
+            z[..., 1],
+            jnp.maximum(z[..., 2], eps),
+            jnp.maximum(take(cand_r), eps),
+            take(aligned_t),
+        ],
+        axis=-1,
+    )
+
+
 def initiate(layout: KFLayout, meas):
     """Create (mean, cov) for new tracks from measurements (K, dz).
 

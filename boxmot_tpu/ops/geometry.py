@@ -78,6 +78,24 @@ def xysr2xyxy(x):
     return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
 
 
+def obb2xysr(b):
+    """(cx,cy,w,h,theta) -> (cx,cy,s=w*h,r=w/h,theta) — OC-SORT OBB
+    measurement space (convert_obb_to_z, ocsort.py:49-60)."""
+    w = jnp.maximum(b[..., 2], 1e-6)
+    h = jnp.maximum(b[..., 3], 1e-6)
+    return jnp.stack(
+        [b[..., 0], b[..., 1], w * h, w / h, b[..., 4]], axis=-1
+    )
+
+
+def xysr2obb(x):
+    """(cx,cy,s,r,theta,...) state -> (cx,cy,w,h,theta)
+    (convert_x_to_obb, ocsort.py:62-72)."""
+    w = jnp.sqrt(jnp.maximum(x[..., 2] * x[..., 3], 1e-12))
+    h = x[..., 2] / jnp.maximum(w, 1e-6)
+    return jnp.stack([x[..., 0], x[..., 1], w, h, x[..., 4]], axis=-1)
+
+
 def obb_corners(xywha):
     """(cx,cy,w,h,angle_rad) -> 4 corners (..., 4, 2).
 

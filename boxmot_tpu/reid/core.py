@@ -97,11 +97,13 @@ class ReID:
         model = self.model
         crop = crop_hw
 
-        @jax.jit
-        def _forward(variables, img_bgr, boxes, valid):
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("is_obb",))
+        def _forward(variables, img_bgr, boxes, valid, is_obb=False):
             # BGR->RGB on device (reference flips on host, base_backend.py:181)
             img_rgb = img_bgr[..., ::-1]
-            crops = extract_crops(img_rgb, boxes, out_hw=crop)
+            crops = extract_crops(img_rgb, boxes, out_hw=crop, is_obb=is_obb)
             if half:
                 crops = crops.astype(jnp.bfloat16)
             feats = model.apply(variables, crops)
@@ -113,14 +115,20 @@ class ReID:
         self._forward = _forward
 
     def get_features(self, xyxys: np.ndarray, img: np.ndarray) -> np.ndarray:
-        """(N, 4) boxes + HxWx3 RGB/BGR uint8 frame -> (N, F) embeddings."""
-        xyxys = np.asarray(xyxys, np.float32).reshape(-1, 4)
+        """(N, 4) xyxy or (N, 5) xywha boxes + HxWx3 uint8 frame ->
+        (N, F) embeddings.  Rotated boxes yield rotation-rectified crops
+        (the reference backend crops layout.boxes, botsort.py:190-192).
+        """
+        xyxys = np.asarray(xyxys, np.float32)
+        is_obb = xyxys.ndim == 2 and xyxys.shape[1] >= 5
+        cols = 5 if is_obb else 4
+        xyxys = xyxys.reshape(-1, cols) if xyxys.ndim != 2 else xyxys[:, :cols]
         n = len(xyxys)
         if n == 0:
             return np.zeros((0, self.feature_dim), np.float32)
         B = _crop_bucket(n)
-        boxes = np.zeros((B, 4), np.float32)
-        boxes[:, 2:] = 1.0
+        boxes = np.zeros((B, cols), np.float32)
+        boxes[:, 2:4] = 1.0  # unit padding boxes keep the grid finite
         boxes[:n] = xyxys
         valid = np.arange(B) < n
         feats = self._forward(
@@ -128,6 +136,7 @@ class ReID:
             jnp.asarray(img),
             jnp.asarray(boxes),
             jnp.asarray(valid),
+            is_obb=is_obb,
         )
         return np.asarray(feats)[:n]
 

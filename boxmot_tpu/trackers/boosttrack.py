@@ -124,6 +124,25 @@ def xyxy2xyhr(box):
     )
 
 
+def obb2xyhr(box):
+    """(cx,cy,w,h,theta) -> KF measurement (cx,cy,h,r=w/h,theta)
+    (convert_xywha_to_z, boosttrack.py:46-56)."""
+    w = jnp.maximum(box[..., 2], 1e-4)
+    h = jnp.maximum(box[..., 3], 1e-4)
+    return jnp.stack(
+        [box[..., 0], box[..., 1], h, w / h, box[..., 4]], axis=-1
+    )
+
+
+def xyhr2obb(mean):
+    """KF state (cx,cy,h,r,theta,...) -> (cx,cy,w,h,theta)
+    (convert_x_to_xywha, boosttrack.py:58-63)."""
+    h, r = mean[..., 2], mean[..., 3]
+    return jnp.stack(
+        [mean[..., 0], mean[..., 1], h * r, h, mean[..., 4]], axis=-1
+    )
+
+
 def _iou(a, b):
     xx1 = jnp.maximum(a[:, None, 0], b[None, :, 0])
     yy1 = jnp.maximum(a[:, None, 1], b[None, :, 1])

@@ -36,8 +36,8 @@ import numpy as np
 from flax import struct
 
 from boxmot_tpu.motion import kalman
-from boxmot_tpu.ops.geometry import xywh2xyxy, xyxy2xywh
-from boxmot_tpu.ops.iou import iou_batch
+from boxmot_tpu.ops.geometry import obb_corners, xywh2xyxy, xyxy2xywh
+from boxmot_tpu.ops.iou import iou_batch, iou_batch_obb
 from boxmot_tpu.ops.lap import masked_assignment
 from boxmot_tpu.trackers.base import BaseTracker
 
@@ -63,6 +63,7 @@ class BotSortConfig:
     feat_dim: int = 512
     nr_classes: int = 80
     ema_alpha: float = 0.9
+    is_obb: bool = False  # oriented boxes: XYWH-5 filter + OBB-aware CMC
     capacity: int = 256
 
 
@@ -89,9 +90,10 @@ class BotSortState:
 
 def init_state(cfg: BotSortConfig) -> BotSortState:
     K = cfg.capacity
+    DX = 10 if cfg.is_obb else 8
     return BotSortState(
-        mean=jnp.zeros((K, 8), jnp.float32),
-        cov=jnp.zeros((K, 8, 8), jnp.float32),
+        mean=jnp.zeros((K, DX), jnp.float32),
+        cov=jnp.zeros((K, DX, DX), jnp.float32),
         status=jnp.zeros((K,), jnp.int32),
         activated=jnp.zeros((K,), bool),
         tid=jnp.zeros((K,), jnp.int32),
@@ -129,6 +131,50 @@ def _apply_warp(mean, cov, warp, mask):
     return jnp.where(m, new_mean, mean), jnp.where(m[..., None], new_cov, cov)
 
 
+def _apply_warp_obb(mean, cov, warp, mask):
+    """OBB-aware CMC (multi_gmc_obb, botsort_track.py:197-231): warp the
+    box corners, refit a rotated rect, align it to the pre-warp state,
+    rotate position velocities, and scale size velocities.
+
+    The reference refits with cv2.minAreaRect; under the similarity
+    transforms ECC produces (translation/euclidean) the warped corners
+    stay an exact rectangle, so a direct edge-vector fit is identical.
+    """
+    R = warp[:2, :2]
+    t = warp[:2, 2]
+    scale_x = jnp.maximum(jnp.linalg.norm(R[:, 0]), 1e-6)
+    scale_y = jnp.maximum(jnp.linalg.norm(R[:, 1]), 1e-6)
+
+    corners = obb_corners(mean[:, :5])  # (K, 4, 2) order: bl, tl, tr, br
+    wc = corners @ R.T + t
+    center = wc.mean(axis=1)
+    wvec = wc[:, 2] - wc[:, 1]  # tl -> tr: width edge
+    hvec = wc[:, 3] - wc[:, 2]  # tr -> br: height edge
+    w = jnp.maximum(jnp.linalg.norm(wvec, axis=-1), 1e-4)
+    h = jnp.maximum(jnp.linalg.norm(hvec, axis=-1), 1e-4)
+    angle = jnp.arctan2(wvec[:, 1], wvec[:, 0])
+    fitted = jnp.stack([center[:, 0], center[:, 1], w, h, angle], axis=-1)
+    fitted = kalman.align_obb_to_ref(fitted, mean[:, :5])
+
+    new_mean = mean.at[:, :5].set(fitted)
+    new_mean = new_mean.at[:, 5:7].set(mean[:, 5:7] @ R.T)
+    new_mean = new_mean.at[:, 7].set(mean[:, 7] * scale_x)
+    new_mean = new_mean.at[:, 8].set(mean[:, 8] * scale_y)
+
+    T = jnp.eye(10, dtype=warp.dtype)
+    T = T.at[:2, :2].set(R)
+    T = T.at[5:7, 5:7].set(R)
+    T = T.at[2, 2].set(scale_x)
+    T = T.at[3, 3].set(scale_y)
+    T = T.at[7, 7].set(scale_x)
+    T = T.at[8, 8].set(scale_y)
+    TC = jnp.einsum("ab,kbc->kac", T, cov)
+    new_cov = jnp.einsum("kac,bc->kab", TC, T)
+
+    m = mask[:, None]
+    return jnp.where(m, new_mean, mean), jnp.where(m[..., None], new_cov, cov)
+
+
 def _vote_cls(cls_scores, cls_seen, cls_det, conf_det, apply_mask, nr_classes):
     """Confidence-weighted class voting (botsort_track.py:69-83)."""
     K = cls_scores.shape[0]
@@ -151,12 +197,13 @@ def botsort_step(cfg: BotSortConfig, state: BotSortState, dets, det_valid, embs,
     """One frame.  dets: (D, 7); embs: (D, F) appearance of each det
     (only first-stage rows are used); warp: (2, 3) camera-motion affine.
     """
-    layout = kalman.make_xywh_layout()
+    layout = kalman.make_xywh_layout(obb=cfg.is_obb)
     K = cfg.capacity
     D = dets.shape[0]
+    B = 5 if cfg.is_obb else 4  # box cols
     frame = state.frame_count + 1
 
-    conf = dets[:, 4]
+    conf = dets[:, B]
     first = det_valid & (conf > cfg.track_high_thresh)
     second = det_valid & (conf > cfg.track_low_thresh) & (conf < cfg.track_high_thresh)
 
@@ -169,20 +216,32 @@ def botsort_step(cfg: BotSortConfig, state: BotSortState, dets, det_valid, embs,
     # normalize det features (STrack.update_features first line)
     feat = embs / jnp.maximum(jnp.linalg.norm(embs, axis=-1, keepdims=True), 1e-12)
 
-    # KF predict: lost tracks get size velocities zeroed (botsort_track.py:104-110)
-    mean = state.mean.at[:, 6:8].set(
-        jnp.where(lost[:, None], 0.0, state.mean[:, 6:8])
-    )
+    # KF predict: lost tracks get size (+angle) velocities zeroed
+    # (botsort_track.py:84-110)
+    if cfg.is_obb:
+        mean = state.mean.at[:, 7:10].set(
+            jnp.where(lost[:, None], 0.0, state.mean[:, 7:10])
+        )
+    else:
+        mean = state.mean.at[:, 6:8].set(
+            jnp.where(lost[:, None], 0.0, state.mean[:, 6:8])
+        )
     pmean, pcov = kalman.predict(layout, mean, state.cov, pool)
 
     # camera motion compensation on pool + unconfirmed
-    pmean, pcov = _apply_warp(pmean, pcov, warp, pool | unconf)
+    if cfg.is_obb:
+        pmean, pcov = _apply_warp_obb(pmean, pcov, warp, pool | unconf)
+    else:
+        pmean, pcov = _apply_warp(pmean, pcov, warp, pool | unconf)
 
-    trk_xyxy = xywh2xyxy(pmean[:, :4])
-    det_xyxy = dets[:, :4]
-    det_xywh = xyxy2xywh(det_xyxy)
-
-    iou = iou_batch(trk_xyxy, det_xyxy)  # (K, D)
+    if cfg.is_obb:
+        det_xywh = dets[:, :5]
+        iou = iou_batch_obb(pmean[:, :5], det_xywh)  # (K, D)
+    else:
+        det_xyxy = dets[:, :4]
+        det_xywh = xyxy2xywh(det_xyxy)
+        trk_xyxy = xywh2xyxy(pmean[:, :4])
+        iou = iou_batch(trk_xyxy, det_xyxy)  # (K, D)
     iou_dist = 1.0 - iou
     prox_mask = iou_dist > cfg.proximity_thresh
 
@@ -231,9 +290,18 @@ def botsort_step(cfg: BotSortConfig, state: BotSortState, dets, det_valid, embs,
     det_col = jnp.where(m1, r2c1, jnp.where(m2, r2c2, r2c3))
     c = jnp.clip(det_col, 0, D - 1)
     meas = det_xywh[c]
+    if cfg.is_obb:
+        # resolve the rotated-rect parameterization against the state
+        # (KalmanFilterXYWH.update, xywh.py:162-186)
+        meas = kalman.align_obb_to_ref(meas, pmean[:, :5])
     new_mean, new_cov = kalman.update(
         layout, pmean, pcov, meas, jnp.zeros((K,), jnp.float32), matched
     )
+    if cfg.is_obb:
+        # angular velocity damped x0.8 after every observed update
+        new_mean = new_mean.at[:, 9].set(
+            jnp.where(matched, new_mean[:, 9] * 0.8, new_mean[:, 9])
+        )
 
     # --- appearance EMA for matched first-stage dets
     det_has_feat = first[c] if cfg.with_reid else jnp.zeros((D,), bool)[c]
@@ -253,10 +321,10 @@ def botsort_step(cfg: BotSortConfig, state: BotSortState, dets, det_valid, embs,
     status = jnp.where(matched, TRACKED, status0)
     activated = state.activated | matched
     conf_s = jnp.where(matched, conf[c], state.conf)
-    det_ind_s = jnp.where(matched, dets[:, 6][c], state.det_ind)
+    det_ind_s = jnp.where(matched, dets[:, B + 2][c], state.det_ind)
     frame_id = jnp.where(matched, frame, state.frame_id)
     cls_scores, cls_seen, voted = _vote_cls(
-        state.cls_scores, state.cls_seen, dets[:, 5][c], conf[c], matched, cfg.nr_classes
+        state.cls_scores, state.cls_seen, dets[:, B + 1][c], conf[c], matched, cfg.nr_classes
     )
     cls_s = jnp.where(matched, voted, state.cls)
 
@@ -289,8 +357,8 @@ def botsort_step(cfg: BotSortConfig, state: BotSortState, dets, det_valid, embs,
     activated = jnp.where(takes, frame == 1, activated)
     tid = jnp.where(takes, state.next_id + free_rank, state.tid)
     conf_s = jnp.where(takes, conf[slot_det], conf_s)
-    cls_s = jnp.where(takes, dets[:, 5][slot_det], cls_s)
-    det_ind_s = jnp.where(takes, dets[:, 6][slot_det], det_ind_s)
+    cls_s = jnp.where(takes, dets[:, B + 1][slot_det], cls_s)
+    det_ind_s = jnp.where(takes, dets[:, B + 2][slot_det], det_ind_s)
     frame_id = jnp.where(takes, frame, frame_id)
     start_frame = jnp.where(takes, frame, state.start_frame)
     tracklet_len = jnp.where(takes, 0, tracklet_len)
@@ -302,14 +370,18 @@ def botsort_step(cfg: BotSortConfig, state: BotSortState, dets, det_valid, embs,
     cls_scores = jnp.where(takes[:, None], 0.0, cls_scores)
     cls_seen = jnp.where(takes[:, None], False, cls_seen)
     cls_scores, cls_seen, _ = _vote_cls(
-        cls_scores, cls_seen, dets[:, 5][slot_det], conf[slot_det], takes, cfg.nr_classes
+        cls_scores, cls_seen, dets[:, B + 1][slot_det], conf[slot_det], takes, cfg.nr_classes
     )
 
     # --- duplicate suppression (botsort_utils.remove_duplicate_stracks)
-    out_xyxy = xywh2xyxy(new_mean[:, :4])
+    if cfg.is_obb:
+        out_box = new_mean[:, :5]  # xywha property (botsort_track.py:318-325)
+        pair_iou = iou_batch_obb(out_box, out_box)
+    else:
+        out_box = xywh2xyxy(new_mean[:, :4])
+        pair_iou = iou_batch(out_box, out_box)
     a_mask = status == TRACKED
     b_mask = status == LOST
-    pair_iou = iou_batch(out_xyxy, out_xyxy)
     pair = ((1.0 - pair_iou) < 0.15) & a_mask[:, None] & b_mask[None, :]
     time_a = (frame_id - start_frame)[:, None]
     time_b = (frame_id - start_frame)[None, :]
@@ -321,7 +393,7 @@ def botsort_step(cfg: BotSortConfig, state: BotSortState, dets, det_valid, embs,
     out_mask = (status == TRACKED) & activated
     out = jnp.concatenate(
         [
-            out_xyxy,
+            out_box,
             tid[:, None].astype(jnp.float32),
             conf_s[:, None],
             cls_s[:, None],
@@ -355,7 +427,7 @@ def botsort_step(cfg: BotSortConfig, state: BotSortState, dets, det_valid, embs,
 class BotSort(BaseTracker):
     """Host wrapper with the reference constructor surface (botsort.py:68-118)."""
 
-    supports_obb = False  # OBB path lands with the XYWH-5 layout + OBB CMC
+    supports_obb = True  # XYWH-5 filter + OBB-aware CMC (botsort.py:64)
 
     def __init__(
         self,
@@ -398,6 +470,7 @@ class BotSort(BaseTracker):
             max_time_lost=self.buffer_size,
             feat_dim=feat_dim,
             nr_classes=self.nr_classes,
+            is_obb=self.is_obb,
             capacity=capacity,
         )
         if use_cmc and cmc_method not in (None, "none"):
@@ -411,12 +484,27 @@ class BotSort(BaseTracker):
     def _init_state(self):
         return init_state(self.cfg)
 
+    def _set_detection_mode(self, is_obb: bool):
+        super()._set_detection_mode(is_obb)
+        self.cfg = dataclasses.replace(self.cfg, is_obb=is_obb)
+
+    @staticmethod
+    def _obb_hull_np(xywha):
+        """Enclosing AABBs of rotated boxes for CMC feature masking
+        (_obb_detections_to_cmc_boxes, botsort.py:126-131)."""
+        cx, cy, w, h, a = (xywha[:, i] for i in range(5))
+        ca, sa = np.abs(np.cos(a)), np.abs(np.sin(a))
+        hx = (w * ca + h * sa) / 2.0
+        hy = (w * sa + h * ca) / 2.0
+        return np.stack([cx - hx, cy - hy, cx + hx, cy + hy], axis=-1)
+
     def update(self, dets, img=None, embs=None, masks=None):
         self._pending = {"img": img, "embs": embs}
         return super().update(dets, img, embs, masks)
 
     def _step(self, state, dets_padded, det_valid):
         D = dets_padded.shape[0]
+        B = 5 if self.cfg.is_obb else 4
         embs = self._pending.get("embs")
         img = self._pending.get("img")
         F = self.cfg.feat_dim
@@ -426,10 +514,12 @@ class BotSort(BaseTracker):
             if embs is not None:
                 emb_pad[:n] = np.asarray(embs, np.float32)[:n]
             elif self.model is not None and img is not None:
-                boxes = np.asarray(dets_padded)[:n, :4]
+                boxes = np.asarray(dets_padded)[:n, :B]
                 emb_pad[:n] = self.model.get_features(boxes, img)
         if self.cmc is not None and img is not None:
-            boxes = np.asarray(dets_padded)[:n, :4]
+            boxes = np.asarray(dets_padded)[:n, :B]
+            if self.cfg.is_obb:
+                boxes = self._obb_hull_np(boxes)
             warp = self.cmc.apply(img, boxes)
         else:
             warp = IDENTITY_WARP

@@ -177,6 +177,12 @@ def bytetrack_step(cfg: ByteTrackConfig, state: ByteTrackState, dets, det_valid)
     new_mean, new_cov = kalman.update(
         layout, pmean, pcov, meas, jnp.zeros((K,), jnp.float32), matched
     )
+    if cfg.is_obb:
+        # angular velocity damped x0.8 after every observed update
+        # (KalmanFilterXYWH.update, xywh.py:183-184)
+        new_mean = new_mean.at[:, 9].set(
+            jnp.where(matched, new_mean[:, 9] * 0.8, new_mean[:, 9])
+        )
 
     # --- bookkeeping for matched slots
     was_tracked = status0 == TRACKED  # update() vs re_activate() split

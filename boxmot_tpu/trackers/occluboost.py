@@ -48,10 +48,14 @@ from boxmot_tpu.trackers.boosttrack import (
     dlo_boost,
     duo_boost,
     mh_distance,
+    obb2xyhr,
     track_confidence,
+    xyhr2obb,
     xyhr2xyxy,
     xyxy2xyhr,
 )
+from boxmot_tpu.ops.geometry import wrap_angle
+from boxmot_tpu.ops.iou import iou_batch_obb
 from boxmot_tpu.trackers.botsort import IDENTITY_WARP
 
 GRAVE_SLOTS = 64
@@ -107,6 +111,7 @@ class OccluBoostConfig:
     gta_min_track_length: int = 5
     gta_interpolate: bool = True
     gta_max_gap: int = 60
+    is_obb: bool = False  # OBB path: rotated IoU, no CMC/boost/AMS (occluboost.py:930-1259)
     capacity: int = 256
 
 
@@ -144,9 +149,10 @@ class OccluBoostState:
 
 def init_state(cfg: OccluBoostConfig) -> OccluBoostState:
     K, F, B, G = cfg.capacity, cfg.feat_dim, cfg.ams_buffer_size, GRAVE_SLOTS
+    DX = 10 if cfg.is_obb else 8
     return OccluBoostState(
-        mean=jnp.zeros((K, 8), jnp.float32),
-        cov=jnp.zeros((K, 8, 8), jnp.float32),
+        mean=jnp.zeros((K, DX), jnp.float32),
+        cov=jnp.zeros((K, DX, DX), jnp.float32),
         active=jnp.zeros((K,), bool),
         age=jnp.zeros((K,), jnp.int32),
         tsu=jnp.zeros((K,), jnp.int32),
@@ -243,33 +249,43 @@ def _gated_lsa_max(sim, row_mask, col_mask):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def occluboost_step(cfg: OccluBoostConfig, state: OccluBoostState, dets, det_valid, embs, warp):
-    layout = kalman.make_xyhr_layout()
+    layout = kalman.make_xyhr_layout(obb=cfg.is_obb)
     K, D = cfg.capacity, dets.shape[0]
+    B = 5 if cfg.is_obb else 4  # box cols
     frame = state.frame_count + 1
     active = state.active
 
-    det_box = dets[:, :4]
-    conf = jnp.where(det_valid, dets[:, 4], -1.0)
+    det_box = dets[:, :B]
+    conf = jnp.where(det_valid, dets[:, B], -1.0)
     orig_conf = conf
 
-    # --- camera update + predict
-    mean = camera_update_xyhr(state.mean, warp, active)
+    # --- camera update + predict.  The OBB path skips CMC and the DLO/DUO
+    # confidence boosts — they are tied to the AABB representation
+    # (occluboost.py:936-943).
+    if cfg.is_obb:
+        mean = state.mean
+    else:
+        mean = camera_update_xyhr(state.mean, warp, active)
     mean, cov = kalman.predict(layout, mean, state.cov, active)
     age = state.age + active.astype(jnp.int32)
     hit_streak = jnp.where(active & (state.tsu > 0), 0, state.hit_streak)
     tsu = state.tsu + active.astype(jnp.int32)
     trk_conf = track_confidence(age, tsu, active)
-    trk_box = xyhr2xyxy(mean[:, :4])
 
-    det_z = xyxy2xyhr(det_box)
-    md = mh_distance(det_box, mean, cov, None)
-    pair_valid = det_valid[:, None] & active[None, :]
+    if cfg.is_obb:
+        trk_box = xyhr2obb(mean)  # (K, 5) xywha
+        det_z = obb2xyhr(det_box)
+    else:
+        trk_box = xyhr2xyxy(mean[:, :4])
+        det_z = xyxy2xyhr(det_box)
+        md = mh_distance(det_box, mean, cov, None)
+        pair_valid = det_valid[:, None] & active[None, :]
 
-    if cfg.use_dlo_boost:
-        conf = dlo_boost(cfg, conf, det_valid, det_box, trk_box, trk_conf, tsu, md, pair_valid)
-    if cfg.use_duo_boost:
-        cand = duo_boost(cfg, conf, det_valid, md, pair_valid, active)
-        conf = _duo_apply(cfg, conf, det_valid, det_box, cand)
+        if cfg.use_dlo_boost:
+            conf = dlo_boost(cfg, conf, det_valid, det_box, trk_box, trk_conf, tsu, md, pair_valid)
+        if cfg.use_duo_boost:
+            cand = duo_boost(cfg, conf, det_valid, md, pair_valid, active)
+            conf = _duo_apply(cfg, conf, det_valid, det_box, cand)
 
     first = det_valid & (conf >= cfg.det_thresh)
     second = (
@@ -283,25 +299,40 @@ def occluboost_step(cfg: OccluBoostConfig, state: OccluBoostState, dets, det_val
 
     det_emb = embs / jnp.maximum(jnp.linalg.norm(embs, axis=-1, keepdims=True), 1e-12)
 
-    # --- pass 1: BoostTrack multi-cue association
-    iou_dk = _iou(det_box, trk_box)
-    iou_dk_gated = jnp.where(first[:, None] & active[None, :], iou_dk, 0.0)
     emb_cost = det_emb @ state.emb.T if cfg.with_reid else jnp.zeros((D, K), jnp.float32)
-    cost = boost_cost(
-        cfg, det_box, trk_box, conf, trk_conf, md, iou_dk_gated,
-        first[:, None] & active[None, :], emb_cost, cfg.lambda_emb_multiplier,
-    )
-    cost_kd = cost.T
-    usable, r2c_short = _unique_shortcut(cost_kd, active, first, cfg.iou_threshold)
-    r2c_full = _full_assignment(-cost_kd, active, first)
-    r2c1 = jnp.where(usable, r2c_short, r2c_full)
-    c1 = jnp.clip(r2c1, 0, D - 1)
-    iou_of = iou_dk_gated.T[jnp.arange(K), c1]
-    emb_of = emb_cost.T[jnp.arange(K), c1]
-    valid1 = (iou_of >= cfg.iou_threshold) | (
-        cfg.with_reid & (emb_of >= 0.75) & (iou_of >= cfg.iou_threshold / 2)
-    )
-    m1 = (r2c1 >= 0) & valid1
+    if cfg.is_obb:
+        # --- pass 1 (OBB): rotated IoU cost, gated at iou_threshold, with
+        # BoTSORT-style appearance fusion (occluboost.py:1005-1050)
+        iou_dk = iou_batch_obb(det_box, trk_box)  # (D, K)
+        gate1 = iou_dk < cfg.iou_threshold
+        cost = jnp.where(gate1, 1e6, 1.0 - iou_dk)
+        if cfg.with_reid:
+            lambda_emb = cfg.lambda_iou + 0.5
+            cost = cost - lambda_emb * emb_cost
+            cost = jnp.where(gate1, 1e6, cost)
+        cost_kd = cost.T
+        r2c1 = _full_assignment(cost_kd, active, first)
+        c1 = jnp.clip(r2c1, 0, D - 1)
+        m1 = (r2c1 >= 0) & (cost_kd[jnp.arange(K), c1] < 1e5)
+    else:
+        # --- pass 1: BoostTrack multi-cue association
+        iou_dk = _iou(det_box, trk_box)
+        iou_dk_gated = jnp.where(first[:, None] & active[None, :], iou_dk, 0.0)
+        cost = boost_cost(
+            cfg, det_box, trk_box, conf, trk_conf, md, iou_dk_gated,
+            first[:, None] & active[None, :], emb_cost, cfg.lambda_emb_multiplier,
+        )
+        cost_kd = cost.T
+        usable, r2c_short = _unique_shortcut(cost_kd, active, first, cfg.iou_threshold)
+        r2c_full = _full_assignment(-cost_kd, active, first)
+        r2c1 = jnp.where(usable, r2c_short, r2c_full)
+        c1 = jnp.clip(r2c1, 0, D - 1)
+        iou_of = iou_dk_gated.T[jnp.arange(K), c1]
+        emb_of = emb_cost.T[jnp.arange(K), c1]
+        valid1 = (iou_of >= cfg.iou_threshold) | (
+            cfg.with_reid & (emb_of >= 0.75) & (iou_of >= cfg.iou_threshold / 2)
+        )
+        m1 = (r2c1 >= 0) & valid1
 
     unmatched_trk0 = active & ~m1  # reference's fixed unmatched_trks set
     dm = jnp.zeros((D,), bool).at[jnp.where(m1, r2c1, D)].set(True, mode="drop")
@@ -309,19 +340,26 @@ def occluboost_step(cfg: OccluBoostConfig, state: OccluBoostState, dets, det_val
     def apply_update(mean, cov, ring, count, emb, matched, det_idx, alpha_emb, streak, tsu_, conf_, cls_, dind_):
         """KF + AMS + embedding + bookkeeping for one pass's matches."""
         cc = jnp.clip(det_idx, 0, D - 1)
-        cxcywh = jnp.stack(
-            [
-                (det_box[cc, 0] + det_box[cc, 2]) / 2,
-                (det_box[cc, 1] + det_box[cc, 3]) / 2,
-                jnp.maximum(det_box[cc, 2] - det_box[cc, 0], 1e-6),
-                jnp.maximum(det_box[cc, 3] - det_box[cc, 1], 1e-6),
-            ],
-            axis=-1,
-        )
-        alpha = _ams_alpha(cfg, ring, count, cxcywh)
-        ring, count = _ams_append(ring, count, cxcywh, matched)
+        z = det_z[cc]
+        if cfg.is_obb:
+            # AMS is skipped for OBB tracks (occluboost.py:912-918); the
+            # measurement angle aligns to the state (xyhr.py:350-355).
+            alpha = jnp.ones((K,), jnp.float32)
+            z = z.at[:, 4].set(mean[:, 4] + wrap_angle(z[:, 4] - mean[:, 4]))
+        else:
+            cxcywh = jnp.stack(
+                [
+                    (det_box[cc, 0] + det_box[cc, 2]) / 2,
+                    (det_box[cc, 1] + det_box[cc, 3]) / 2,
+                    jnp.maximum(det_box[cc, 2] - det_box[cc, 0], 1e-6),
+                    jnp.maximum(det_box[cc, 3] - det_box[cc, 1], 1e-6),
+                ],
+                axis=-1,
+            )
+            alpha = _ams_alpha(cfg, ring, count, cxcywh)
+            ring, count = _ams_append(ring, count, cxcywh, matched)
         mean, cov = kalman.update(
-            layout, mean, cov, det_z[cc], jnp.zeros((K,), jnp.float32), matched,
+            layout, mean, cov, z, jnp.zeros((K,), jnp.float32), matched,
             gain_scale=alpha,
         )
         if cfg.with_reid:
@@ -334,8 +372,8 @@ def occluboost_step(cfg: OccluBoostConfig, state: OccluBoostState, dets, det_val
         streak = streak + matched.astype(jnp.int32)
         tsu_ = jnp.where(matched, 0, tsu_)
         conf_ = jnp.where(matched, conf[cc], conf_)
-        cls_ = jnp.where(matched, dets[:, 5][cc], cls_)
-        dind_ = jnp.where(matched, dets[:, 6][cc], dind_)
+        cls_ = jnp.where(matched, dets[:, B + 1][cc], cls_)
+        dind_ = jnp.where(matched, dets[:, B + 2][cc], dind_)
         return mean, cov, ring, count, emb, streak, tsu_, conf_, cls_, dind_
 
     trust = (conf - cfg.det_thresh) / (1 - cfg.det_thresh)
@@ -358,7 +396,10 @@ def occluboost_step(cfg: OccluBoostConfig, state: OccluBoostState, dets, det_val
     if cfg.with_reid:
         elig = unmatched_trk0 & (tsu <= cfg.recovery_max_age)
         sim = emb @ det_emb.T  # (K, D) — current (possibly updated) embs
-        ious_rec = _iou(trk_box, det_box)  # predicted track boxes
+        if cfg.is_obb:
+            ious_rec = iou_batch_obb(trk_box, det_box)
+        else:
+            ious_rec = _iou(trk_box, det_box)  # predicted track boxes
         gated = jnp.where(ious_rec < cfg.recovery_iou_thresh, -1.0, sim)
         gated = jnp.where(sim < cfg.recovery_appearance_thresh, -1.0, gated)
         r2c_rec = _gated_lsa_max(gated, elig, det_unmatched)
@@ -380,7 +421,10 @@ def occluboost_step(cfg: OccluBoostConfig, state: OccluBoostState, dets, det_val
             & (hit_streak >= cfg.second_pass_min_hits)
             & is_activated
         )
-        ious2 = _iou(trk_box, det_box)
+        if cfg.is_obb:
+            ious2 = iou_batch_obb(trk_box, det_box)
+        else:
+            ious2 = _iou(trk_box, det_box)
         cost2 = jnp.where(ious2 < cfg.second_iou_thresh, 1.0, 1.0 - ious2)
         if cfg.with_reid:
             sim2 = emb @ det_emb.T
@@ -462,8 +506,8 @@ def occluboost_step(cfg: OccluBoostConfig, state: OccluBoostState, dets, det_val
     active2 = active | takes
     tid = jnp.where(takes, det_tid[slot_det], state.tid)
     conf_s = jnp.where(takes, conf[slot_det], conf_s)
-    cls_s = jnp.where(takes, dets[:, 5][slot_det], cls_s)
-    det_ind_s = jnp.where(takes, dets[:, 6][slot_det], det_ind_s)
+    cls_s = jnp.where(takes, dets[:, B + 1][slot_det], cls_s)
+    det_ind_s = jnp.where(takes, dets[:, B + 2][slot_det], det_ind_s)
     age = jnp.where(takes, 0, age)
     tsu = jnp.where(takes, 0, tsu)
     hit_streak = jnp.where(takes, 0, hit_streak)
@@ -488,7 +532,7 @@ def occluboost_step(cfg: OccluBoostConfig, state: OccluBoostState, dets, det_val
         gap = frame - death
         do_fill = valid_r & (gap > 1) & (gap <= cfg.gta_max_gap)
         last_box = g_box[gs]  # (R, 4)
-        cur_box = det_box[d_i]  # (R, 4)
+        cur_box = det_box[d_i][:, :4]  # (R, 4); OBB drops theta (ref quirk)
         t_steps = jnp.arange(1, MAX_GAP_FILL, dtype=jnp.int32)  # (T,)
         in_gap = do_fill[:, None] & (t_steps[None, :] < gap[:, None])  # (R, T)
         a_t = t_steps[None, :].astype(jnp.float32) / jnp.maximum(
@@ -522,7 +566,10 @@ def occluboost_step(cfg: OccluBoostConfig, state: OccluBoostState, dets, det_val
         )
 
     # --- emission + duplicate suppression (occluboost.py:427-475, 869-905)
-    out_box = xyhr2xyxy(mean[:, :4])
+    if cfg.is_obb:
+        out_box = xyhr2obb(mean)  # (K, 5) xywha
+    else:
+        out_box = xyhr2xyxy(mean[:, :4])
     warmup = frame <= cfg.min_hits
     emit = (
         active2
@@ -531,7 +578,7 @@ def occluboost_step(cfg: OccluBoostConfig, state: OccluBoostState, dets, det_val
         & ((hit_streak >= cfg.min_hits) | warmup)
     )
     if 0.0 < cfg.duplicate_iou_thresh < 1.0:
-        pij = _iou(out_box, out_box)
+        pij = iou_batch_obb(out_box, out_box) if cfg.is_obb else _iou(out_box, out_box)
         pij = jnp.where(emit[:, None] & emit[None, :], pij, 0.0)
         pij = pij - jnp.eye(K) * pij
         older = (age[:, None] >= age[None, :])
@@ -540,12 +587,15 @@ def occluboost_step(cfg: OccluBoostConfig, state: OccluBoostState, dets, det_val
         emit = emit & ~kill
         active2 = active2 & ~kill
 
-    w_arr = out_box[:, 2] - out_box[:, 0]
-    h_arr = out_box[:, 3] - out_box[:, 1]
-    shape_ok = (w_arr / jnp.maximum(h_arr, 1e-12) <= cfg.aspect_ratio_thresh) & (
-        w_arr * h_arr > cfg.min_box_area
-    )
-    out_mask = emit & shape_ok
+    if cfg.is_obb:
+        out_mask = emit  # no aspect/area gate in the OBB path
+    else:
+        w_arr = out_box[:, 2] - out_box[:, 0]
+        h_arr = out_box[:, 3] - out_box[:, 1]
+        shape_ok = (w_arr / jnp.maximum(h_arr, 1e-12) <= cfg.aspect_ratio_thresh) & (
+            w_arr * h_arr > cfg.min_box_area
+        )
+        out_mask = emit & shape_ok
     out = jnp.concatenate(
         [
             out_box,
@@ -579,7 +629,7 @@ def occluboost_step(cfg: OccluBoostConfig, state: OccluBoostState, dets, det_val
         )
         src = jnp.clip(trk_by_rank[jnp.clip(gfree_rank, 0, K - 1)], 0, K - 1)
         g_emb = jnp.where(g_takes[:, None], emb[src], g_emb)
-        g_box = jnp.where(g_takes[:, None], out_box[src], g_box)
+        g_box = jnp.where(g_takes[:, None], out_box[src, :4], g_box)
         g_frame = jnp.where(g_takes, frame, g_frame)
         g_conf = jnp.where(g_takes, conf_s[src], g_conf)
         g_cls = jnp.where(g_takes, cls_s[src], g_cls)
@@ -648,7 +698,7 @@ def flush_gta_rows(state: OccluBoostState, smooth_tau: float = 5.0) -> np.ndarra
 class OccluBoost(BaseTracker):
     """Host wrapper mirroring the reference constructor (occluboost.py:86-183)."""
 
-    supports_obb = False  # OBB path follows with the XYHR-theta layout
+    supports_obb = True  # XYHR-theta layout (occluboost.py:82, 930-1259)
 
     def __init__(
         self,
@@ -750,6 +800,7 @@ class OccluBoost(BaseTracker):
             gta_min_track_length=max(int(gta_min_track_length), 1),
             gta_interpolate=gta_interpolate,
             gta_max_gap=max(int(gta_max_gap), 1),
+            is_obb=self.is_obb,
             capacity=capacity,
         )
         if use_cmc:
@@ -762,6 +813,10 @@ class OccluBoost(BaseTracker):
 
     def _init_state(self):
         return init_state(self.cfg)
+
+    def _set_detection_mode(self, is_obb: bool):
+        super()._set_detection_mode(is_obb)
+        self.cfg = dataclasses.replace(self.cfg, is_obb=is_obb)
 
     def update(self, dets, img=None, embs=None, masks=None):
         self._pending = {"img": img, "embs": embs}
@@ -790,10 +845,15 @@ class OccluBoost(BaseTracker):
             if embs is not None:
                 emb_pad[:n] = np.asarray(embs, np.float32)[:n]
             elif self.model is not None and img is not None:
-                emb_pad[:n] = self.model.get_features(
-                    np.asarray(dets_padded)[:n, :4], img
-                )
-        if self.cmc is not None and img is not None:
+                boxes = np.asarray(dets_padded)[:n, : 5 if self.cfg.is_obb else 4]
+                if self.cfg.is_obb:
+                    # ReID crops use enclosing AABBs in the OBB path
+                    # (_xywha_to_xyxy_enclosing, occluboost.py:44-60)
+                    from boxmot_tpu.trackers.botsort import BotSort
+
+                    boxes = BotSort._obb_hull_np(boxes)
+                emb_pad[:n] = self.model.get_features(boxes, img)
+        if self.cmc is not None and img is not None and not self.cfg.is_obb:
             warp = self.cmc.apply(img, np.asarray(dets_padded)[:n, :4])
         else:
             warp = IDENTITY_WARP

@@ -35,7 +35,7 @@ import numpy as np
 from flax import struct
 
 from boxmot_tpu.motion import kalman
-from boxmot_tpu.ops.geometry import xysr2xyxy, xyxy2xysr
+from boxmot_tpu.ops.geometry import obb2xysr, wrap_angle, xysr2obb, xysr2xyxy, xyxy2xysr
 from boxmot_tpu.ops.iou import get_asso_func
 from boxmot_tpu.ops.lap import masked_assignment
 from boxmot_tpu.trackers.base import BaseTracker
@@ -56,6 +56,7 @@ class OcSortConfig:
     q_xy_scaling: float = 0.01
     q_s_scaling: float = 0.0001
     asso_func: str = "iou"
+    is_obb: bool = False  # oriented boxes: 9-D XYSR+theta filter
     capacity: int = 256
 
 
@@ -87,9 +88,12 @@ class OcSortState:
 
 def init_state(cfg: OcSortConfig) -> OcSortState:
     K, R = cfg.capacity, cfg.delta_t
+    DX = 9 if cfg.is_obb else 7  # state dim
+    O = 6 if cfg.is_obb else 5  # stored observation width (box + conf)
+    Z = 5 if cfg.is_obb else 4  # measurement dim
     return OcSortState(
-        mean=jnp.zeros((K, 7), jnp.float32),
-        cov=jnp.zeros((K, 7, 7), jnp.float32),
+        mean=jnp.zeros((K, DX), jnp.float32),
+        cov=jnp.zeros((K, DX, DX), jnp.float32),
         active=jnp.zeros((K,), bool),
         age=jnp.zeros((K,), jnp.int32),
         tsu=jnp.zeros((K,), jnp.int32),
@@ -99,15 +103,15 @@ def init_state(cfg: OcSortConfig) -> OcSortState:
         conf=jnp.zeros((K,), jnp.float32),
         cls=jnp.zeros((K,), jnp.float32),
         det_ind=jnp.zeros((K,), jnp.float32),
-        last_obs=jnp.full((K, 5), -1.0, jnp.float32),
+        last_obs=jnp.full((K, O), -1.0, jnp.float32),
         has_obs=jnp.zeros((K,), bool),
-        obs_ring=jnp.full((K, R, 5), -1.0, jnp.float32),
+        obs_ring=jnp.full((K, R, O), -1.0, jnp.float32),
         ring_age=jnp.full((K, R), -1, jnp.int32),
         velocity=jnp.zeros((K, 2), jnp.float32),
         observed=jnp.zeros((K,), bool),
-        frozen_mean=jnp.zeros((K, 7), jnp.float32),
-        frozen_cov=jnp.zeros((K, 7, 7), jnp.float32),
-        last_meas=jnp.zeros((K, 4), jnp.float32),
+        frozen_mean=jnp.zeros((K, DX), jnp.float32),
+        frozen_cov=jnp.zeros((K, DX, DX), jnp.float32),
+        last_meas=jnp.zeros((K, Z), jnp.float32),
         frame_count=jnp.asarray(0, jnp.int32),
         next_id=jnp.asarray(1, jnp.int32),
     )
@@ -147,36 +151,53 @@ def _speed_direction(from_boxes, to_boxes):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def ocsort_step(cfg: OcSortConfig, state: OcSortState, dets, det_valid):
-    """One frame.  dets: (D, 7) [x1,y1,x2,y2,conf,cls,det_ind] padded."""
+    """One frame.  dets padded: (D, 7) [x1,y1,x2,y2,conf,cls,det_ind], or
+    (D, 8) [cx,cy,w,h,theta,conf,cls,det_ind] in OBB mode."""
+    # Q_a gets Q_s's value — the reference passes Q_a_scaling=self.Q_s_scaling
+    # at track creation (ocsort.py:518-521), so the constructor's own default
+    # never applies.
     layout = kalman.make_xysr_layout(
-        q_xy_scaling=cfg.q_xy_scaling, q_s_scaling=cfg.q_s_scaling
+        obb=cfg.is_obb,
+        q_xy_scaling=cfg.q_xy_scaling,
+        q_s_scaling=cfg.q_s_scaling,
+        q_a_scaling=cfg.q_s_scaling,
     )
-    asso = get_asso_func(cfg.asso_func)
+    asso = get_asso_func(cfg.asso_func + "_obb" if cfg.is_obb else cfg.asso_func)
     K = cfg.capacity
     D = dets.shape[0]
     R = cfg.delta_t
+    B = 5 if cfg.is_obb else 4  # box cols
+    vs_idx = 7 if cfg.is_obb else 6  # area-velocity state index
     frame = state.frame_count + 1
 
-    conf = dets[:, 4]
+    conf = dets[:, B]
     first = det_valid & (conf > cfg.det_thresh)
     second = det_valid & (conf > cfg.min_conf) & (conf < cfg.det_thresh)
-    det_box = dets[:, :4]
-    det_xysr = xyxy2xysr(det_box)
-    det_xysr = det_xysr.at[:, 2].set(jnp.maximum(det_xysr[:, 2], 1e-6))
-    det_xysr = det_xysr.at[:, 3].set(jnp.maximum(det_xysr[:, 3], 1e-6))
+    det_box = dets[:, :B]
+    if cfg.is_obb:
+        det_meas = obb2xysr(det_box)
+    else:
+        det_meas = xyxy2xysr(det_box)
+    det_meas = det_meas.at[:, 2].set(jnp.maximum(det_meas[:, 2], 1e-6))
+    det_meas = det_meas.at[:, 3].set(jnp.maximum(det_meas[:, 3], 1e-6))
 
     active = state.active
 
     # --- predict (KalmanBoxTracker.predict, ocsort.py:278-296):
     # zero area-velocity when it would drive the area negative.
-    vs_bad = (state.mean[:, 6] + state.mean[:, 2]) <= 0
-    mean = state.mean.at[:, 6].set(jnp.where(vs_bad, 0.0, state.mean[:, 6]))
+    vs_bad = (state.mean[:, vs_idx] + state.mean[:, 2]) <= 0
+    mean = state.mean.at[:, vs_idx].set(
+        jnp.where(vs_bad, 0.0, state.mean[:, vs_idx])
+    )
     mean, cov = kalman.predict(layout, mean, state.cov, active)
     age = state.age + active.astype(jnp.int32)
     hit_streak = jnp.where(active & (state.tsu > 0), 0, state.hit_streak)
     tsu = state.tsu + active.astype(jnp.int32)
 
-    trk_box = xysr2xyxy(mean[:, :4])
+    if cfg.is_obb:
+        trk_box = xysr2obb(mean)
+    else:
+        trk_box = xysr2xyxy(mean[:, :4])
 
     # --- k_previous_obs from the ring buffer (ocsort.py:18-29)
     k_obs = state.last_obs
@@ -192,11 +213,16 @@ def ocsort_step(cfg: OcSortConfig, state: OcSortState, dets, det_valid):
 
     # --- pass 1: dets(first) vs predicted boxes with velocity-direction cost
     iou1 = asso(trk_box, det_box)  # (K, D)
-    Y, X = _speed_direction(k_obs[:, :4], det_box)
+    # speed_direction_batch (association.py:8-17) applies the AABB center
+    # formula (b0+b2)/2 to the first 4 columns even in OBB mode, where it
+    # computes (cx+w)/2 — reference quirk, replicated verbatim.
+    Y, X = _speed_direction(k_obs[:, :4], det_box[:, :4])
     diff_cos = jnp.clip(
         state.velocity[:, 1:2] * X + state.velocity[:, 0:1] * Y, -1.0, 1.0
     )
     diff_angle = (jnp.pi / 2.0 - jnp.abs(jnp.arccos(diff_cos))) / jnp.pi
+    # column 4 is theta in OBB mode, so observations with a negative angle
+    # lose their velocity cost (association.py:104-105) — quirk preserved.
     valid_vel = (k_obs[:, 4] >= 0)[:, None]
     angle_cost = valid_vel * diff_angle * cfg.inertia * conf[None, :]
 
@@ -242,7 +268,7 @@ def ocsort_step(cfg: OcSortConfig, state: OcSortState, dets, det_valid):
     # --- OCR: leftover dets vs last observations (ocsort.py:485-510)
     rows3 = active & ~matched
     cols3 = first & ~dm
-    iou3 = asso(state.last_obs[:, :4], det_box)
+    iou3 = asso(state.last_obs[:, :B], det_box)
     gate3 = (
         jnp.max(jnp.where(rows3[:, None] & cols3[None, :], iou3, -jnp.inf))
         > cfg.iou_threshold
@@ -262,10 +288,16 @@ def ocsort_step(cfg: OcSortConfig, state: OcSortState, dets, det_valid):
     # --- ORU: re-found tracks replay the filter over interpolated
     # measurements from the frozen pre-miss state (xysr.py:384-440).
     rejoin = matched & ~state.observed & state.has_obs & (tsu > 1)
+    z2 = det_meas[c]
+    if cfg.is_obb:
+        # OBB measurements resolve the 4-way parameterization against the
+        # post-predict state BEFORE the frozen restore — the reference
+        # prepares the measurement at update() entry (xysr.py:448-451),
+        # then unfreezes.
+        z2 = kalman.align_obb_xysr(z2, mean[:, :5])
     mean = jnp.where(rejoin[:, None], state.frozen_mean, mean)
     cov = jnp.where(rejoin[:, None, None], state.frozen_cov, cov)
     gap = tsu  # misses + 1 at the rejoin frame
-    z2 = det_xysr[c]
     m1_ = state.last_meas
     w1 = jnp.sqrt(jnp.maximum(m1_[:, 2] * m1_[:, 3], 1e-12))
     h1 = jnp.sqrt(jnp.maximum(m1_[:, 2] / jnp.maximum(m1_[:, 3], 1e-12), 1e-12))
@@ -276,6 +308,23 @@ def ocsort_step(cfg: OcSortConfig, state: OcSortState, dets, det_valid):
     dy = (z2[:, 1] - m1_[:, 1]) / gapf
     dw = (w2 - w1) / gapf
     dh = (h2 - h1) / gapf
+    if cfg.is_obb:
+        # theta interpolates along the wrapped delta (xysr.py:417-428)
+        t1 = m1_[:, 4]
+        dth = wrap_angle(z2[:, 4] - t1) / gapf
+
+    def _masked_update(mean, cov, zi, act):
+        mean, cov = kalman.update(
+            layout, mean, cov, zi, jnp.zeros((K,), jnp.float32), act
+        )
+        if cfg.is_obb:
+            # angular velocity damped x0.8 after every observed update
+            # (xysr.py:470-472, base.py:222-238)
+            mean = mean.at[:, 8].set(
+                jnp.where(act, mean[:, 8] * 0.8, mean[:, 8])
+            )
+        return mean, cov
+
     for i in range(1, MAX_ORU + 1):
         act_i = rejoin & (i <= gap)
         if i > 1:
@@ -286,21 +335,30 @@ def ocsort_step(cfg: OcSortConfig, state: OcSortState, dets, det_valid):
         yi = m1_[:, 1] + fi * dy
         wi = w1 + fi * dw
         hi = h1 + fi * dh
-        zi = jnp.stack(
-            [xi, yi, jnp.maximum(wi * hi, 1e-6), jnp.maximum(wi / jnp.maximum(hi, 1e-12), 1e-6)],
-            axis=-1,
-        )
-        mean, cov = kalman.update(
-            layout, mean, cov, zi, jnp.zeros((K,), jnp.float32), act_i
-        )
+        si = jnp.maximum(wi * hi, 1e-6)
+        ri = jnp.maximum(wi / jnp.maximum(hi, 1e-12), 1e-6)
+        if cfg.is_obb:
+            zi = jnp.stack([xi, yi, si, ri, wrap_angle(t1 + fi * dth)], axis=-1)
+            # interpolated measurements re-align against the replay state
+            # (unfreeze recurses through update -> _prepare_measurement)
+            zi = kalman.align_obb_xysr(zi, mean[:, :5])
+        else:
+            zi = jnp.stack([xi, yi, si, ri], axis=-1)
+        mean, cov = _masked_update(mean, cov, zi, act_i)
 
     # --- regular measurement update for every matched slot
-    mean, cov = kalman.update(
-        layout, mean, cov, z2, jnp.zeros((K,), jnp.float32), matched
-    )
+    mean, cov = _masked_update(mean, cov, z2, matched)
 
     # --- velocity + observation bookkeeping for matched slots
-    dy_v, dx_v = _speed_direction(k_obs[:, :4], det_box)
+    if cfg.is_obb:
+        # stored per-track velocity uses true centers (speed_direction_obb,
+        # ocsort.py:82-88) — unlike the batch cost above.
+        dyy = det_box[None, :, 1] - k_obs[:, 1:2]
+        dxx = det_box[None, :, 0] - k_obs[:, 0:1]
+        nrm = jnp.sqrt(dxx**2 + dyy**2) + 1e-6
+        dy_v, dx_v = dyy / nrm, dxx / nrm
+    else:
+        dy_v, dx_v = _speed_direction(k_obs[:, :4], det_box)
     vel_new = jnp.stack(
         [dy_v[jnp.arange(K), c], dx_v[jnp.arange(K), c]], axis=-1
     )
@@ -325,8 +383,8 @@ def ocsort_step(cfg: OcSortConfig, state: OcSortState, dets, det_valid):
     hits = state.hits + matched.astype(jnp.int32)
     hit_streak = hit_streak + matched.astype(jnp.int32)
     conf_s = jnp.where(matched, conf[c], state.conf)
-    cls_s = jnp.where(matched, dets[:, 5][c], state.cls)
-    det_ind_s = jnp.where(matched, dets[:, 6][c], state.det_ind)
+    cls_s = jnp.where(matched, dets[:, B + 1][c], state.cls)
+    det_ind_s = jnp.where(matched, dets[:, B + 2][c], state.det_ind)
     tsu = jnp.where(matched, 0, tsu)
 
     # --- misses: freeze on the first unobserved step (xysr.py:452-459)
@@ -350,14 +408,14 @@ def ocsort_step(cfg: OcSortConfig, state: OcSortState, dets, det_valid):
     takes = free & (free_rank < n_new)
     slot_det = jnp.clip(det_by_rank[jnp.clip(free_rank, 0, D - 1)], 0, D - 1)
 
-    init_mean_v, init_cov_v = kalman.initiate(layout, det_xysr[slot_det])
+    init_mean_v, init_cov_v = kalman.initiate(layout, det_meas[slot_det])
     mean = jnp.where(takes[:, None], init_mean_v, mean)
     cov = jnp.where(takes[:, None, None], init_cov_v, cov)
     active = active | takes
     tid = jnp.where(takes, state.next_id + free_rank, state.tid)
     conf_s = jnp.where(takes, conf[slot_det], conf_s)
-    cls_s = jnp.where(takes, dets[:, 5][slot_det], cls_s)
-    det_ind_s = jnp.where(takes, dets[:, 6][slot_det], det_ind_s)
+    cls_s = jnp.where(takes, dets[:, B + 1][slot_det], cls_s)
+    det_ind_s = jnp.where(takes, dets[:, B + 2][slot_det], det_ind_s)
     age = jnp.where(takes, 0, age)
     tsu = jnp.where(takes, 0, tsu)
     hits = jnp.where(takes, 0, hits)
@@ -373,9 +431,11 @@ def ocsort_step(cfg: OcSortConfig, state: OcSortState, dets, det_valid):
     active = active & ~dead
 
     # --- output (ocsort.py:527-546): last observation box when available
-    out_box = jnp.where(
-        has_obs[:, None], last_obs[:, :4], xysr2xyxy(mean[:, :4])
-    )
+    if cfg.is_obb:
+        state_box = xysr2obb(mean)
+    else:
+        state_box = xysr2xyxy(mean[:, :4])
+    out_box = jnp.where(has_obs[:, None], last_obs[:, :B], state_box)
     out_mask = (
         active
         & (tsu < 1)
@@ -422,7 +482,7 @@ def ocsort_step(cfg: OcSortConfig, state: OcSortState, dets, det_valid):
 class OcSort(BaseTracker):
     """Host wrapper mirroring the reference constructor (ocsort.py:339-363)."""
 
-    supports_obb = False  # OBB lands with the XYSR-theta layout
+    supports_obb = True  # 9-D XYSR+theta filter (ocsort.py:121-155)
 
     def __init__(
         self,
@@ -448,8 +508,13 @@ class OcSort(BaseTracker):
             q_xy_scaling=Q_xy_scaling,
             q_s_scaling=Q_s_scaling,
             asso_func=self.asso_func_name,
+            is_obb=self.is_obb,
             capacity=capacity,
         )
+
+    def _set_detection_mode(self, is_obb: bool):
+        super()._set_detection_mode(is_obb)
+        self.cfg = dataclasses.replace(self.cfg, is_obb=is_obb)
 
     def _init_state(self):
         return init_state(self.cfg)
