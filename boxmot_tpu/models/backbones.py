@@ -92,20 +92,27 @@ class InvertedResidual(nn.Module):
 
 
 class MobileNetV2(nn.Module):
-    feature_dim: int = 1280
+    # width multiplier scales every stage (reference mobilenetv2.py:82-101:
+    # channels = int(c * width_mult), feature_dim = int(1280 * w) if w > 1)
+    width: float = 1.0
+
+    @property
+    def feature_dim(self) -> int:
+        return int(1280 * self.width) if self.width > 1 else 1280
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        w = self.width
         cfg = [  # (expand, filters, repeats, stride)
-            (1, 16, 1, 1),
-            (6, 24, 2, 2),
-            (6, 32, 3, 2),
-            (6, 64, 4, 2),
-            (6, 96, 3, 1),
-            (6, 160, 3, 2),
-            (6, 320, 1, 1),
+            (1, int(16 * w), 1, 1),
+            (6, int(24 * w), 2, 2),
+            (6, int(32 * w), 3, 2),
+            (6, int(64 * w), 4, 2),
+            (6, int(96 * w), 3, 1),
+            (6, int(160 * w), 3, 2),
+            (6, int(320 * w), 1, 1),
         ]
-        x = nn.Conv(32, (3, 3), strides=2, padding=[(1, 1)] * 2, use_bias=False, name="conv1")(x)
+        x = nn.Conv(int(32 * w), (3, 3), strides=2, padding=[(1, 1)] * 2, use_bias=False, name="conv1")(x)
         x = nn.relu6(nn.BatchNorm(use_running_average=not train, name="bn1")(x))
         i = 0
         for expand, filters, repeats, stride in cfg:
@@ -128,5 +135,5 @@ def build_resnet101() -> ResNet:
     return ResNet(stage_sizes=(3, 4, 23, 3))
 
 
-def build_mobilenetv2() -> MobileNetV2:
-    return MobileNetV2()
+def build_mobilenetv2(width: float = 1.0) -> MobileNetV2:
+    return MobileNetV2(width=width)

@@ -93,13 +93,45 @@ class _Mapper:
             self.used.add(f"{tk}.bias")
             _set(self.params, (*fpath, "bias"), self.sd[f"{tk}.bias"])
 
+    def inorm(self, tk, fpath):
+        """InstanceNorm2d(affine=True): weight/bias only, no running stats."""
+        self.used.add(f"{tk}.weight")
+        self.used.add(f"{tk}.bias")
+        _set(self.params, (*fpath, "scale"), self.sd[f"{tk}.weight"])
+        _set(self.params, (*fpath, "bias"), self.sd[f"{tk}.bias"])
 
-def convert_osnet(path_or_dict, blocks=(2, 2, 2)):
-    """Convert a torchreid OSNet checkpoint to Flax variables."""
+    def conv_in(self, tk, fpath):
+        self.conv(f"{tk}.conv", (*fpath, "conv"))
+        self.inorm(f"{tk}.bn", (*fpath, "in"))
+
+
+def convert_checkpoint(path_or_dict, model_name: str):
+    """Dispatch a torchreid checkpoint to the right converter by model."""
+    if model_name.startswith("osnet_ain"):
+        return convert_osnet_ain(path_or_dict)
+    if model_name.startswith("osnet_ibn"):
+        return convert_osnet(path_or_dict, ibn=True)
+    if model_name.startswith("osnet"):
+        return convert_osnet(path_or_dict)
+    raise ValueError(
+        f"no checkpoint converter for {model_name!r}; convert the weights "
+        "offline or train with boxmot_tpu.reid.training"
+    )
+
+
+def convert_osnet(path_or_dict, blocks=(2, 2, 2), ibn: bool = False):
+    """Convert a torchreid OSNet checkpoint to Flax variables.
+
+    ibn=True handles osnet_ibn_x1_0 (osnet.py IN=True): the stem norm and
+    the stage-2 post-residual norms are InstanceNorm2d (weight/bias only).
+    """
     sd = load_state_dict(path_or_dict)
     m = _Mapper(sd)
 
-    m.conv_bn("conv1", ("conv1",))
+    if ibn:
+        m.conv_in("conv1", ("conv1",))
+    else:
+        m.conv_bn("conv1", ("conv1",))
     stream_lens = {1: "conv2a", 2: "conv2b", 3: "conv2c", 4: "conv2d"}
     for s in range(3):  # stages conv2..conv4
         tstage = f"conv{s + 2}"
@@ -117,12 +149,55 @@ def convert_osnet(path_or_dict, blocks=(2, 2, 2)):
             m.conv_bn(f"{tb}.conv3", (fb, "conv3"))
             if f"{tb}.downsample.conv.weight" in sd:
                 m.conv_bn(f"{tb}.downsample", (fb, "downsample"))
+            if ibn and s == 0:
+                m.inorm(f"{tb}.IN", (fb, "ibn"))
         if s < 2:
             m.conv_bn(f"{tstage}.{blocks[s]}.0", (f"transition{s + 2}",))
     m.conv_bn("conv5", ("conv5",))
     m.dense("fc.0", ("fc",))
     m.bn("fc.1", ("fc_bn",))
+    return _finish(m, sd)
 
+
+def convert_osnet_ain(path_or_dict, blocks=(2, 2, 2)):
+    """Convert a torchreid OSNet-AIN checkpoint (osnet_ain.py naming:
+    LightConvStream `conv2.{t}.layers.{u}`, `pool2`/`pool3` transitions,
+    OSBlockINin conv3 without BN + post-conv InstanceNorm)."""
+    from boxmot_tpu.models.osnet import AIN_BLOCKS
+
+    sd = load_state_dict(path_or_dict)
+    m = _Mapper(sd)
+
+    m.conv_in("conv1", ("conv1",))
+    for s in range(3):
+        tstage = f"conv{s + 2}"
+        for b in range(blocks[s]):
+            tb = f"{tstage}.{b}"
+            fb = f"{tstage}_{b}"
+            m.conv_bn(f"{tb}.conv1", (fb, "conv1"))
+            for t in range(1, 5):
+                for u in range(t):
+                    m.light_conv(
+                        f"{tb}.conv2.{t - 1}.layers.{u}", (fb, f"conv2_{t}_{u}")
+                    )
+            m.conv(f"{tb}.gate.fc1", (fb, "gate", "fc1"))
+            m.conv(f"{tb}.gate.fc2", (fb, "gate", "fc2"))
+            if AIN_BLOCKS[s][b] == "in":
+                m.conv(f"{tb}.conv3.conv", (fb, "conv3"))
+                m.inorm(f"{tb}.IN", (fb, "in3"))
+            else:
+                m.conv_bn(f"{tb}.conv3", (fb, "conv3"))
+            if f"{tb}.downsample.conv.weight" in sd:
+                m.conv_bn(f"{tb}.downsample", (fb, "downsample"))
+        if s < 2:
+            m.conv_bn(f"pool{s + 2}.0", (f"transition{s + 2}",))
+    m.conv_bn("conv5", ("conv5",))
+    m.dense("fc.0", ("fc",))
+    m.bn("fc.1", ("fc_bn",))
+    return _finish(m, sd)
+
+
+def _finish(m, sd):
     unused = [
         k
         for k in sd
@@ -135,59 +210,121 @@ def convert_osnet(path_or_dict, blocks=(2, 2, 2)):
     return {"params": m.params, "batch_stats": m.batch_stats}
 
 
-def export_osnet_state_dict(variables, blocks=(2, 2, 2)):
+class _Exporter:
+    def __init__(self, variables):
+        self.params = variables["params"]
+        self.stats = variables["batch_stats"]
+        self.sd = {}
+
+    def conv(self, fnode, tk):
+        self.sd[f"{tk}.weight"] = np.transpose(
+            np.asarray(fnode["kernel"]), (3, 2, 0, 1)
+        )
+        if "bias" in fnode:
+            self.sd[f"{tk}.bias"] = np.asarray(fnode["bias"])
+
+    def bn(self, pnode, snode, tk):
+        self.sd[f"{tk}.weight"] = np.asarray(pnode["scale"])
+        self.sd[f"{tk}.bias"] = np.asarray(pnode["bias"])
+        self.sd[f"{tk}.running_mean"] = np.asarray(snode["mean"])
+        self.sd[f"{tk}.running_var"] = np.asarray(snode["var"])
+
+    def inorm(self, pnode, tk):
+        self.sd[f"{tk}.weight"] = np.asarray(pnode["scale"])
+        self.sd[f"{tk}.bias"] = np.asarray(pnode["bias"])
+
+    def conv_bn(self, fname, tk):
+        self.conv(self.params[fname]["conv"], f"{tk}.conv")
+        self.bn(self.params[fname]["bn"], self.stats[fname]["bn"], f"{tk}.bn")
+
+    def conv_in(self, fname, tk):
+        self.conv(self.params[fname]["conv"], f"{tk}.conv")
+        self.inorm(self.params[fname]["in"], f"{tk}.bn")
+
+    def nested_conv_bn(self, fb, sub, tk):
+        self.conv(self.params[fb][sub]["conv"], f"{tk}.conv")
+        self.bn(self.params[fb][sub]["bn"], self.stats[fb][sub]["bn"], f"{tk}.bn")
+
+    def light_conv(self, fb, sub, tk):
+        node = self.params[fb][sub]
+        snode = self.stats[fb][sub]
+        self.conv(node["conv1"], f"{tk}.conv1")
+        self.conv(node["conv2"], f"{tk}.conv2")
+        self.bn(node["bn"], snode["bn"], f"{tk}.bn")
+
+    def fc(self):
+        self.sd["fc.0.weight"] = np.asarray(self.params["fc"]["kernel"]).T
+        self.sd["fc.0.bias"] = np.asarray(self.params["fc"]["bias"])
+        self.bn(self.params["fc_bn"], self.stats["fc_bn"], "fc.1")
+
+
+def export_osnet_state_dict(variables, blocks=(2, 2, 2), ibn: bool = False):
     """Inverse mapping: Flax variables -> torchreid-style numpy state dict.
 
     Used by tests (round-trip) and by the exporters for interop.
     """
-    params = variables["params"]
-    stats = variables["batch_stats"]
-    sd = {}
+    e = _Exporter(variables)
+    params = e.params
 
-    def put_conv(fnode, tk):
-        sd[f"{tk}.weight"] = np.transpose(np.asarray(fnode["kernel"]), (3, 2, 0, 1))
-        if "bias" in fnode:
-            sd[f"{tk}.bias"] = np.asarray(fnode["bias"])
-
-    def put_bn(pnode, snode, tk):
-        sd[f"{tk}.weight"] = np.asarray(pnode["scale"])
-        sd[f"{tk}.bias"] = np.asarray(pnode["bias"])
-        sd[f"{tk}.running_mean"] = np.asarray(snode["mean"])
-        sd[f"{tk}.running_var"] = np.asarray(snode["var"])
-
-    def put_conv_bn(fname, tk):
-        put_conv(params[fname]["conv"], f"{tk}.conv")
-        put_bn(params[fname]["bn"], stats[fname]["bn"], f"{tk}.bn")
-
-    def put_nested_conv_bn(fb, sub, tk):
-        put_conv(params[fb][sub]["conv"], f"{tk}.conv")
-        put_bn(params[fb][sub]["bn"], stats[fb][sub]["bn"], f"{tk}.bn")
-
-    put_conv_bn("conv1", "conv1")
+    if ibn:
+        e.conv_in("conv1", "conv1")
+    else:
+        e.conv_bn("conv1", "conv1")
     stream = {1: "conv2a", 2: "conv2b", 3: "conv2c", 4: "conv2d"}
     for s in range(3):
         tstage = f"conv{s + 2}"
         for b in range(blocks[s]):
             fb = f"{tstage}_{b}"
             tb = f"{tstage}.{b}"
-            put_nested_conv_bn(fb, "conv1", f"{tb}.conv1")
+            e.nested_conv_bn(fb, "conv1", f"{tb}.conv1")
             for t in range(1, 5):
                 for u in range(t):
                     tk = f"{tb}.{stream[t]}" if t == 1 else f"{tb}.{stream[t]}.{u}"
-                    node = params[fb][f"conv2_{t}_{u}"]
-                    snode = stats[fb][f"conv2_{t}_{u}"]
-                    put_conv(node["conv1"], f"{tk}.conv1")
-                    put_conv(node["conv2"], f"{tk}.conv2")
-                    put_bn(node["bn"], snode["bn"], f"{tk}.bn")
-            put_conv(params[fb]["gate"]["fc1"], f"{tb}.gate.fc1")
-            put_conv(params[fb]["gate"]["fc2"], f"{tb}.gate.fc2")
-            put_nested_conv_bn(fb, "conv3", f"{tb}.conv3")
+                    e.light_conv(fb, f"conv2_{t}_{u}", tk)
+            e.conv(params[fb]["gate"]["fc1"], f"{tb}.gate.fc1")
+            e.conv(params[fb]["gate"]["fc2"], f"{tb}.gate.fc2")
+            e.nested_conv_bn(fb, "conv3", f"{tb}.conv3")
             if "downsample" in params[fb]:
-                put_nested_conv_bn(fb, "downsample", f"{tb}.downsample")
+                e.nested_conv_bn(fb, "downsample", f"{tb}.downsample")
+            if ibn and s == 0:
+                e.inorm(params[fb]["ibn"], f"{tb}.IN")
         if s < 2:
-            put_conv_bn(f"transition{s + 2}", f"{tstage}.{blocks[s]}.0")
-    put_conv_bn("conv5", "conv5")
-    sd["fc.0.weight"] = np.asarray(params["fc"]["kernel"]).T
-    sd["fc.0.bias"] = np.asarray(params["fc"]["bias"])
-    put_bn(params["fc_bn"], stats["fc_bn"], "fc.1")
-    return sd
+            e.conv_bn(f"transition{s + 2}", f"{tstage}.{blocks[s]}.0")
+    e.conv_bn("conv5", "conv5")
+    e.fc()
+    return e.sd
+
+
+def export_osnet_ain_state_dict(variables, blocks=(2, 2, 2)):
+    """Inverse of convert_osnet_ain (osnet_ain.py key naming)."""
+    from boxmot_tpu.models.osnet import AIN_BLOCKS
+
+    e = _Exporter(variables)
+    params = e.params
+
+    e.conv_in("conv1", "conv1")
+    for s in range(3):
+        tstage = f"conv{s + 2}"
+        for b in range(blocks[s]):
+            fb = f"{tstage}_{b}"
+            tb = f"{tstage}.{b}"
+            e.nested_conv_bn(fb, "conv1", f"{tb}.conv1")
+            for t in range(1, 5):
+                for u in range(t):
+                    e.light_conv(
+                        fb, f"conv2_{t}_{u}", f"{tb}.conv2.{t - 1}.layers.{u}"
+                    )
+            e.conv(params[fb]["gate"]["fc1"], f"{tb}.gate.fc1")
+            e.conv(params[fb]["gate"]["fc2"], f"{tb}.gate.fc2")
+            if AIN_BLOCKS[s][b] == "in":
+                e.conv(params[fb]["conv3"], f"{tb}.conv3.conv")
+                e.inorm(params[fb]["in3"], f"{tb}.IN")
+            else:
+                e.nested_conv_bn(fb, "conv3", f"{tb}.conv3")
+            if "downsample" in params[fb]:
+                e.nested_conv_bn(fb, "downsample", f"{tb}.downsample")
+        if s < 2:
+            e.conv_bn(f"transition{s + 2}", f"pool{s + 2}.0")
+    e.conv_bn("conv5", "conv5")
+    e.fc()
+    return e.sd

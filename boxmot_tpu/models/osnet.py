@@ -19,13 +19,29 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-# channels / blocks per variant (osnet.py model zoo)
+# channels / blocks per variant (osnet.py / osnet_ain.py model zoos)
 OSNET_VARIANTS = {
     "osnet_x1_0": ([64, 256, 384, 512], 1.0),
     "osnet_x0_75": ([48, 192, 288, 384], 0.75),
     "osnet_x0_5": ([32, 128, 192, 256], 0.5),
     "osnet_x0_25": ([16, 64, 96, 128], 0.25),
+    "osnet_ibn_x1_0": ([64, 256, 384, 512], 1.0),
+    "osnet_ain_x1_0": ([64, 256, 384, 512], 1.0),
+    "osnet_ain_x0_75": ([48, 192, 288, 384], 0.75),
+    "osnet_ain_x0_5": ([32, 128, 192, 256], 0.5),
+    "osnet_ain_x0_25": ([16, 64, 96, 128], 0.25),
 }
+
+# AIN block pattern per stage (osnet_ain.py:511-527): "in" blocks apply
+# instance norm inside the residual branch (OSBlockINin).
+AIN_BLOCKS = (("in", "in"), ("os", "in"), ("in", "os"))
+OS_BLOCKS = (("os", "os"), ("os", "os"), ("os", "os"))
+
+
+def instance_norm(name: str):
+    """InstanceNorm2d(affine=True) equivalent: per-channel normalization
+    over the spatial axes (GroupNorm with one channel per group)."""
+    return nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5, name=name)
 
 
 class ConvBNReLU(nn.Module):
@@ -33,6 +49,7 @@ class ConvBNReLU(nn.Module):
     kernel: int = 3
     stride: int = 1
     groups: int = 1
+    use_in: bool = False  # instance norm instead of batch norm (ConvLayer IN)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -45,7 +62,10 @@ class ConvBNReLU(nn.Module):
             feature_group_count=self.groups,
             name="conv",
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
+        if self.use_in:
+            x = instance_norm("in")(x)
+        else:
+            x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
         return nn.relu(x)
 
 
@@ -97,10 +117,19 @@ class ChannelGate(nn.Module):
 
 
 class OSBlock(nn.Module):
-    """Omni-scale residual block (osnet.py OSBlock)."""
+    """Omni-scale residual block (osnet.py OSBlock / osnet_ain.py
+    OSBlockINin).
+
+    in_inside: instance norm replaces conv3's batch norm inside the
+    residual branch (OSBlockINin, osnet_ain.py:261-296).
+    ibn: instance norm applied to the residual sum before relu
+    (osnet.py OSBlock IN=True, osnet.py:242-259).
+    """
 
     out: int
     reduction: int = 4
+    in_inside: bool = False
+    ibn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -116,10 +145,17 @@ class OSBlock(nn.Module):
                 y = LightConv3x3(mid, name=f"conv2_{t}_{u}")(y, train)
             y = gate(y)
             x2 = y if x2 is None else x2 + y
-        x3 = Conv1x1Linear(self.out, name="conv3")(x2, train)
+        if self.in_inside:
+            x3 = nn.Conv(self.out, (1, 1), use_bias=False, name="conv3")(x2)
+            x3 = instance_norm("in3")(x3)
+        else:
+            x3 = Conv1x1Linear(self.out, name="conv3")(x2, train)
         if identity.shape[-1] != self.out:
             identity = Conv1x1Linear(self.out, name="downsample")(identity, train)
-        return nn.relu(x3 + identity)
+        out = x3 + identity
+        if self.ibn:
+            out = instance_norm("ibn")(out)
+        return nn.relu(out)
 
 
 class OSNet(nn.Module):
@@ -132,17 +168,29 @@ class OSNet(nn.Module):
     channels: Sequence[int] = (64, 256, 384, 512)
     blocks: Sequence[int] = (2, 2, 2)
     feature_dim: int = 512
+    block_types: Sequence[Sequence[str]] = OS_BLOCKS  # "os" | "in" per block
+    conv1_in: bool = False  # instance norm in the stem (AIN variants)
+    ibn: bool = False  # stem IN + stage-2 post-residual IN (osnet_ibn_x1_0)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # conv1: 7x7/2 + 3x3/2 maxpool
-        x = ConvBNReLU(self.channels[0], kernel=7, stride=2, name="conv1")(x, train)
+        x = ConvBNReLU(
+            self.channels[0],
+            kernel=7,
+            stride=2,
+            use_in=self.conv1_in or self.ibn,
+            name="conv1",
+        )(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         # stages 2..4
         for stage in range(3):
             for b in range(self.blocks[stage]):
                 x = OSBlock(
-                    self.channels[stage + 1], name=f"conv{stage + 2}_{b}"
+                    self.channels[stage + 1],
+                    in_inside=self.block_types[stage][b] == "in",
+                    ibn=self.ibn and stage == 0,
+                    name=f"conv{stage + 2}_{b}",
                 )(x, train)
             if stage < 2:
                 # transition: 1x1 conv + 2x2 average pool stride 2
@@ -167,4 +215,8 @@ def build_osnet(name: str) -> OSNet:
         raise ValueError(
             f"unknown OSNet variant {name!r}; available: {sorted(OSNET_VARIANTS)}"
         ) from None
+    if name.startswith("osnet_ain"):
+        return OSNet(channels=channels, block_types=AIN_BLOCKS, conv1_in=True)
+    if name.startswith("osnet_ibn"):
+        return OSNet(channels=channels, ibn=True)
     return OSNet(channels=channels)

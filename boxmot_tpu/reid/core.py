@@ -27,16 +27,40 @@ from boxmot_tpu.models.backbones import (
     build_resnet50,
     build_resnet101,
 )
+from boxmot_tpu.models.cspreid import build_cspreid
+from boxmot_tpu.models.lmbn import build_lmbn
+from boxmot_tpu.models.mlfn import build_mlfn
 from boxmot_tpu.models.osnet import OSNET_VARIANTS, build_osnet
+from boxmot_tpu.models.vit import build_vit
 from boxmot_tpu.ops.crops import extract_crops
 
 CROP_BUCKETS = (1, 8, 16, 32, 64, 128, 256)
 
+VIT_VARIANTS = (
+    "vit_nano",
+    "vit_nano_ain",
+    "vit_nano_ain_os",
+    "vit_tiny",
+    "vit_tiny_parts",
+    "vit_tiny_parts3",
+)
+
 MODEL_FACTORY = {name: partial(build_osnet, name) for name in OSNET_VARIANTS}
+MODEL_FACTORY.update({name: partial(build_vit, name) for name in VIT_VARIANTS})
+MODEL_FACTORY.update(
+    {
+        "lmbn_n": partial(build_lmbn, "lmbn_n"),
+        "lmbn_ain_n": partial(build_lmbn, "lmbn_ain_n"),
+        "cspreid_n": build_cspreid,
+        "mlfn": build_mlfn,
+    }
+)
 MODEL_FACTORY.update(
     {
         "resnet50": build_resnet50,
         "resnet101": build_resnet101,
+        "mobilenetv2_x1_0": build_mobilenetv2,
+        "mobilenetv2_x1_4": partial(build_mobilenetv2, width=1.4),
         "mobilenetv2": build_mobilenetv2,
     }
 )
@@ -81,7 +105,9 @@ class ReID:
         self.feature_dim = self.model.feature_dim
 
         if weights is not None and Path(str(weights)).exists():
-            self.variables = convert_mod.convert_osnet(str(weights))
+            self.variables = convert_mod.convert_checkpoint(
+                str(weights), self.model_name
+            )
         else:
             rng = jax.random.PRNGKey(0)
             dummy = jnp.zeros((1, *crop_hw, 3), jnp.float32)

@@ -106,6 +106,48 @@ class TestOSNet:
             atol=1e-6,
         )
 
+    def test_ain_forward_and_roundtrip(self):
+        from boxmot_tpu.models.convert import (
+            convert_osnet_ain,
+            export_osnet_ain_state_dict,
+        )
+
+        model = build_osnet("osnet_ain_x0_25")
+        variables = model.init(jax.random.PRNGKey(4), jnp.zeros((1, 64, 32, 3)))
+        out = np.asarray(
+            model.apply(
+                variables,
+                jnp.asarray(RNG.uniform(-1, 1, (2, 64, 32, 3)), jnp.float32),
+            )
+        )
+        assert out.shape == (2, 512) and np.isfinite(out).all()
+        variables = jax.tree.map(np.asarray, variables)
+        sd = export_osnet_ain_state_dict(variables)
+        # osnet_ain.py naming: LightConvStream + pool transitions + INin
+        assert "conv2.0.conv2.1.layers.0.conv1.weight" in sd
+        assert "pool2.0.conv.weight" in sd
+        assert "conv2.0.IN.weight" in sd
+        assert "conv1.bn.running_mean" not in sd  # stem norm is IN
+        back = convert_osnet_ain(sd)
+        fa = jax.tree_util.tree_leaves_with_path(variables)
+        fb = jax.tree_util.tree_leaves_with_path(back)
+        assert len(fa) == len(fb)
+        for (pa, va), (pb, vb) in zip(sorted(fa, key=str), sorted(fb, key=str)):
+            assert str(pa) == str(pb)
+            np.testing.assert_allclose(va, vb, atol=0)
+
+    def test_ibn_forward_and_roundtrip(self):
+        model = build_osnet("osnet_ibn_x1_0")
+        variables = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 64, 32, 3)))
+        variables = jax.tree.map(np.asarray, variables)
+        sd = export_osnet_state_dict(variables, ibn=True)
+        assert "conv2.0.IN.weight" in sd  # stage-2 post-residual IN
+        assert "conv3.0.IN.weight" not in sd  # only stage 2
+        back = convert_osnet(sd, ibn=True)
+        fa = jax.tree_util.tree_leaves_with_path(variables)
+        fb = jax.tree_util.tree_leaves_with_path(back)
+        assert len(fa) == len(fb)
+
     def test_unmapped_keys_rejected(self):
         model = build_osnet("osnet_x0_25")
         variables = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 64, 32, 3)))
@@ -146,5 +188,62 @@ class TestReIDFacade:
         assert infer_model_name("/x/osnet_x0_25_msmt17.pt") == "osnet_x0_25"
         assert infer_model_name("osnet_x1_0_market.pth") == "osnet_x1_0"
         assert infer_model_name("resnet50_msmt17.pt") == "resnet50"
+        assert infer_model_name("osnet_ain_x1_0_msmt17.pt") == "osnet_ain_x1_0"
+        assert infer_model_name("osnet_ibn_x1_0_market.pt") == "osnet_ibn_x1_0"
+        assert infer_model_name("mobilenetv2_x1_4_duke.pt") == "mobilenetv2_x1_4"
         with pytest.raises(ValueError):
             infer_model_name("unknown_backbone_foo.pt")
+
+    def test_vit_backbones(self):
+        from boxmot_tpu.models.vit import build_vit
+        from boxmot_tpu.reid.core import MODEL_FACTORY
+
+        assert "vit_nano_ain_os" in MODEL_FACTORY and "vit_tiny_parts" in MODEL_FACTORY
+        m = build_vit("vit_nano_ain_os")
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)))
+        out = np.asarray(
+            m.apply(v, jnp.asarray(RNG.uniform(-1, 1, (2, 64, 32, 3)), jnp.float32))
+        )
+        assert out.shape == (2, 192) and np.isfinite(out).all()
+        assert not np.allclose(out[0], out[1])
+        # parts variant: (1 + num_parts) * feat_dim feature
+        p = build_vit("vit_tiny_parts")
+        vp = p.init(jax.random.PRNGKey(1), jnp.zeros((1, 96, 32, 3)))
+        outp = p.apply(vp, jnp.zeros((2, 96, 32, 3)))
+        assert outp.shape == (2, 3 * 512)
+        assert p.feature_dim == 1536
+
+    def test_lmbn_backbones(self):
+        from boxmot_tpu.models.lmbn import build_lmbn
+        from boxmot_tpu.reid.core import MODEL_FACTORY
+
+        assert "lmbn_n" in MODEL_FACTORY and "lmbn_ain_n" in MODEL_FACTORY
+        m = build_lmbn("lmbn_n")
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 64, 3)))
+        out = np.asarray(
+            m.apply(v, jnp.asarray(RNG.uniform(-1, 1, (2, 128, 64, 3)), jnp.float32))
+        )
+        assert out.shape == (2, 7 * 512)  # 7 BNNeck heads stacked
+        assert np.isfinite(out).all()
+        assert m.feature_dim == 3584
+
+    def test_mlfn_and_cspreid(self):
+        from boxmot_tpu.models.cspreid import build_cspreid
+        from boxmot_tpu.models.mlfn import build_mlfn
+        from boxmot_tpu.reid.core import MODEL_FACTORY
+
+        assert "mlfn" in MODEL_FACTORY and "cspreid_n" in MODEL_FACTORY
+        m = build_mlfn()
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)))
+        out = m.apply(v, jnp.zeros((2, 64, 32, 3)))
+        assert out.shape == (2, 1024) and m.feature_dim == 1024
+        c = build_cspreid()
+        vc = c.init(jax.random.PRNGKey(1), jnp.zeros((1, 128, 64, 3)))
+        outc = c.apply(vc, jnp.zeros((2, 128, 64, 3)))
+        assert outc.shape == (2, 1536) and c.feature_dim == 1536
+
+    def test_checkpoint_converter_dispatch(self):
+        from boxmot_tpu.models.convert import convert_checkpoint
+
+        with pytest.raises(ValueError, match="no checkpoint converter"):
+            convert_checkpoint({}, "resnet50")
