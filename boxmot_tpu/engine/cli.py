@@ -130,8 +130,11 @@ def generate(data, cache_root, detector, reid_weights, preprocess):
 @click.option("--tracker", default="bytetrack", show_default=True)
 @click.option("--reid-weights", default=None)
 @click.option("--save-txt", type=click.Path(), default=None)
+@click.option("--save-video", type=click.Path(), default=None,
+              help="render plot_results frames into an mp4")
+@click.option("--show-trajectories/--no-show-trajectories", default=True)
 @click.option("--param", "-p", multiple=True)
-def track(source, tracker, reid_weights, save_txt, param):
+def track(source, tracker, reid_weights, save_txt, save_video, show_trajectories, param):
     """Run live tracking over a frame source."""
     from boxmot_tpu.engine.generate import load_frame
     from boxmot_tpu.engine.mot_io import convert_to_mot_format, write_mot_results
@@ -167,6 +170,7 @@ def track(source, tracker, reid_weights, save_txt, param):
     seq = MOTSequence(source)
     dets_per_frame = seq.dets_per_frame()
 
+    writer = None
     rows = []
     for f, img_path in enumerate(frames):
         img = load_frame(img_path)
@@ -174,7 +178,28 @@ def track(source, tracker, reid_weights, save_txt, param):
         out = trk.update(dets, img)
         if len(out):
             rows.append(convert_to_mot_format(np.asarray(out), f + 1))
+        if save_video:
+            import cv2
+
+            canvas = trk.plot_results(
+                np.ascontiguousarray(img), show_trajectories=show_trajectories
+            )
+            if writer is None:
+                writer = cv2.VideoWriter(
+                    str(save_video),
+                    cv2.VideoWriter_fourcc(*"mp4v"),
+                    30,
+                    (canvas.shape[1], canvas.shape[0]),
+                )
+                if not writer.isOpened():
+                    raise click.ClickException(
+                        f"cannot open video writer at {save_video}"
+                    )
+            writer.write(canvas)
         click.echo(f"frame {f + 1}/{len(frames)}: {len(out)} tracks")
+    if writer is not None:
+        writer.release()
+        click.echo(f"wrote video to {save_video}")
     if hasattr(trk, "flush_gta"):
         gta_rows = trk.flush_gta()
         if len(gta_rows):

@@ -55,7 +55,10 @@ def infer_detection_layout(dets):
     return None
 
 
-class BaseTracker:
+from boxmot_tpu.trackers.visualization import VisualizationMixin
+
+
+class BaseTracker(VisualizationMixin):
     """Shared host shell; subclasses provide the device state + step."""
 
     supports_obb = False
@@ -110,7 +113,9 @@ class BaseTracker:
     def update(self, dets, img=None, embs=None, masks=None) -> TrackResults:
         dets, img = self._preprocess(dets, img)
         raw = self._do_update(dets, img, embs, masks)
-        return TrackResults(raw)
+        results = TrackResults(raw)
+        self._record_display(results, max_obs=getattr(self, "max_obs", 50))
+        return results
 
     def reset(self):
         self._state = None
