@@ -210,6 +210,48 @@ def track(source, tracker, reid_weights, save_txt, save_video, show_trajectories
         click.echo(f"wrote {len(all_rows)} rows to {save_txt}")
 
 
+@cli.command("tune-kf")
+@click.option("--data", required=True, type=click.Path(exists=True),
+              help="MOT train root (sequence dirs with gt/gt.txt)")
+@click.option("--tracker", default=None, help="tracker name (resolves kf type)")
+@click.option("--kf-type", default=None, type=click.Choice(["xywh", "xyah", "xysr", "xyhr"]))
+@click.option("--dets", type=click.Path(exists=True), default=None,
+              help="det cache dir (.npy per sequence) for det-vs-GT R estimation")
+@click.option("--iou-threshold", type=float, default=0.5, show_default=True)
+@click.option("--per-class", is_flag=True)
+@click.option("--out", type=click.Path(), default=None, help="write estimate JSON here")
+def tune_kf(data, tracker, kf_type, dets, iou_threshold, per_class, out):
+    """Estimate Kalman Q/R noise and std weights from ground truth."""
+    from boxmot_tpu.motion.calibration import (
+        estimate_kf_noise,
+        save_kf_noise,
+        tracker_kf_type,
+    )
+
+    if kf_type is None:
+        if tracker is None:
+            raise click.ClickException("provide --kf-type or --tracker")
+        kf_type = tracker_kf_type(tracker)
+        if kf_type is None:
+            raise click.ClickException(f"no KF parameterization known for {tracker!r}")
+    result = estimate_kf_noise(
+        Path(data),
+        kf_type=kf_type,
+        dets_root=Path(dets) if dets else None,
+        iou_threshold=iou_threshold,
+        per_class=per_class,
+        verbose=True,
+    )
+    click.echo(
+        f"std_weight_position={result['std_weight_position']:.6f} "
+        f"std_weight_velocity={result['std_weight_velocity']:.6f} "
+        f"(source: {result['source']})"
+    )
+    if out:
+        save_kf_noise(result, out)
+        click.echo(f"wrote {out}")
+
+
 @cli.command()
 @click.option("--data", required=True, type=click.Path(exists=True))
 @click.option("--tracker", default="bytetrack", show_default=True)

@@ -64,6 +64,9 @@ class BotSortConfig:
     nr_classes: int = 80
     ema_alpha: float = 0.9
     is_obb: bool = False  # oriented boxes: XYWH-5 filter + OBB-aware CMC
+    # KF noise scales; override with tune-kf estimates (motion/calibration.py)
+    std_weight_position: float = 1.0 / 20
+    std_weight_velocity: float = 1.0 / 160
     capacity: int = 256
 
 
@@ -197,7 +200,11 @@ def botsort_step(cfg: BotSortConfig, state: BotSortState, dets, det_valid, embs,
     """One frame.  dets: (D, 7); embs: (D, F) appearance of each det
     (only first-stage rows are used); warp: (2, 3) camera-motion affine.
     """
-    layout = kalman.make_xywh_layout(obb=cfg.is_obb)
+    layout = kalman.make_xywh_layout(
+        obb=cfg.is_obb,
+        std_weight_position=cfg.std_weight_position,
+        std_weight_velocity=cfg.std_weight_velocity,
+    )
     K = cfg.capacity
     D = dets.shape[0]
     B = 5 if cfg.is_obb else 4  # box cols
@@ -447,6 +454,8 @@ class BotSort(BaseTracker):
         second_match_thresh: float = 0.5,
         unconfirmed_match_thresh: float = 0.7,
         unconfirmed_emb_scale: float = 2.0,
+        std_weight_position: float = 1.0 / 20,
+        std_weight_velocity: float = 1.0 / 160,
         capacity: int = 256,
         **kwargs,
     ):
@@ -471,6 +480,8 @@ class BotSort(BaseTracker):
             feat_dim=feat_dim,
             nr_classes=self.nr_classes,
             is_obb=self.is_obb,
+            std_weight_position=std_weight_position,
+            std_weight_velocity=std_weight_velocity,
             capacity=capacity,
         )
         if use_cmc and cmc_method not in (None, "none"):

@@ -52,6 +52,9 @@ class ByteTrackConfig:
     det_thresh: float = 0.45  # reference sets det_thresh = track_thresh
     max_time_lost: int = 25
     is_obb: bool = False  # oriented boxes: XYWH-5 filter + rotated IoU
+    # KF noise scales; override with tune-kf estimates (motion/calibration.py)
+    std_weight_position: float = 1.0 / 20
+    std_weight_velocity: float = 1.0 / 160
     capacity: int = 256
 
 
@@ -106,10 +109,17 @@ def bytetrack_step(cfg: ByteTrackConfig, state: ByteTrackState, dets, det_valid)
     if cfg.is_obb:
         # OBB: (cx,cy,w,h,angle,conf,cls,det_ind) on the XYWH-5 filter
         # (reference STrack.shared_kalman_obb, bytetrack.py:18-19)
-        layout = kalman.make_xywh_layout(obb=True)
+        layout = kalman.make_xywh_layout(
+            obb=True,
+            std_weight_position=cfg.std_weight_position,
+            std_weight_velocity=cfg.std_weight_velocity,
+        )
         conf_i, cls_i, ind_i = 5, 6, 7
     else:
-        layout = kalman.make_xyah_layout()
+        layout = kalman.make_xyah_layout(
+            std_weight_position=cfg.std_weight_position,
+            std_weight_velocity=cfg.std_weight_velocity,
+        )
         conf_i, cls_i, ind_i = 4, 5, 6
     K = cfg.capacity
     D = dets.shape[0]
@@ -300,6 +310,8 @@ class ByteTrack(BaseTracker):
         match_thresh: float = 0.8,
         track_buffer: int = 25,
         frame_rate: int = 30,
+        std_weight_position: float = 1.0 / 20,
+        std_weight_velocity: float = 1.0 / 160,
         capacity: int = 256,
         **kwargs,
     ):
@@ -317,6 +329,8 @@ class ByteTrack(BaseTracker):
             det_thresh=track_thresh,
             max_time_lost=self.max_time_lost,
             is_obb=self.is_obb,
+            std_weight_position=std_weight_position,
+            std_weight_velocity=std_weight_velocity,
             capacity=capacity,
         )
 

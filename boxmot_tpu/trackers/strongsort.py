@@ -58,6 +58,9 @@ class StrongSortConfig:
     ema_alpha: float = 0.9
     feat_dim: int = 512
     capacity: int = 256
+    # KF noise scales; override with tune-kf estimates (motion/calibration.py)
+    std_weight_position: float = 1.0 / 20
+    std_weight_velocity: float = 1.0 / 160
 
 
 @struct.dataclass
@@ -104,7 +107,11 @@ def init_state(cfg: StrongSortConfig) -> StrongSortState:
 
 @partial(jax.jit, static_argnames=("cfg",))
 def strongsort_step(cfg: StrongSortConfig, state: StrongSortState, dets, det_valid, embs, warp):
-    layout = kalman.make_xyah_layout(nsa=True)
+    layout = kalman.make_xyah_layout(
+        nsa=True,
+        std_weight_position=cfg.std_weight_position,
+        std_weight_velocity=cfg.std_weight_velocity,
+    )
     K, D = cfg.capacity, dets.shape[0]
     B = cfg.nn_budget
     frame = state.frame_count + 1
@@ -286,6 +293,8 @@ class StrongSort(BaseTracker):
         nn_budget: int = 100,
         mc_lambda: float = 0.98,
         ema_alpha: float = 0.9,
+        std_weight_position: float = 1.0 / 20,
+        std_weight_velocity: float = 1.0 / 160,
         capacity: int = 256,
         **kwargs,
     ):
@@ -302,6 +311,8 @@ class StrongSort(BaseTracker):
             mc_lambda=mc_lambda,
             ema_alpha=ema_alpha,
             feat_dim=feat_dim,
+            std_weight_position=std_weight_position,
+            std_weight_velocity=std_weight_velocity,
             capacity=capacity,
         )
         from boxmot_tpu.motion.cmc import create_cmc
