@@ -180,8 +180,256 @@ class NoCMC:
         return np.eye(2, 3, dtype=np.float32)
 
 
+class _FeatureCMC:
+    """Shared host-side machinery for the keypoint CMC estimators
+    (boxmot/motion/cmc/base_cmc.py:31-105): BGR->gray + downscale
+    preprocessing, a border + detection mask, and translation upscaling.
+
+    Feature detection/matching is inherently host work (cv2), exactly as
+    in the reference; only the warp *application* runs on device inside
+    the tracker step.
+    """
+
+    scale: float = 0.15
+
+    def _preprocess(self, img):
+        import cv2
+
+        out = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY) if img.ndim == 3 else img
+        if self.scale and self.scale != 1.0:
+            out = cv2.resize(
+                out, (0, 0), fx=self.scale, fy=self.scale,
+                interpolation=cv2.INTER_LINEAR,
+            )
+        return out
+
+    def _mask(self, img_gray, dets):
+        h, w = img_gray.shape[:2]
+        mask = np.zeros((h, w), np.uint8)
+        mask[int(0.02 * h) : int(0.98 * h), int(0.02 * w) : int(0.98 * w)] = 255
+        if dets is None or np.asarray(dets).size == 0:
+            return mask
+        for det in np.asarray(dets):
+            if len(det) < 4:
+                continue
+            x1, y1, x2, y2 = (np.asarray(det[:4], np.float32) * self.scale).astype(int)
+            x1, x2 = max(0, min(w, x1)), max(0, min(w, x2))
+            y1, y2 = max(0, min(h, y1)), max(0, min(h, y2))
+            if x2 > x1 and y2 > y1:
+                mask[y1:y2, x1:x2] = 0
+        return mask
+
+    def _upscale(self, H):
+        if self.scale < 1.0:
+            H = H.copy()
+            H[0, 2] /= self.scale
+            H[1, 2] /= self.scale
+        return H.astype(np.float32)
+
+
+class _DescriptorCMC(_FeatureCMC):
+    """ORB/SIFT common flow (orb.py:46-147, sift.py): detect+describe,
+    KNN match with Lowe ratio 0.9, spatial gating at 25% of the frame,
+    2.5-sigma outlier rejection, RANSAC partial-affine fit."""
+
+    def __init__(self, scale: float = 0.15):
+        self.scale = float(scale)
+        self.prev_img = None
+        self.prev_keypoints = None
+        self.prev_descriptors = None
+
+    def _store(self, img_p, keypoints, descriptors):
+        self.prev_img = img_p.copy()
+        self.prev_keypoints = keypoints
+        self.prev_descriptors = descriptors
+
+    def apply(self, img, dets=None):
+        import cv2
+
+        H = np.eye(2, 3, dtype=np.float32)
+        img_p = self._preprocess(np.asarray(img))
+        h, w = img_p.shape[:2]
+        mask = self._mask(img_p, dets)
+
+        keypoints = self.detector.detect(img_p, mask)
+        keypoints, descriptors = self.extractor.compute(img_p, keypoints)
+        if descriptors is None or len(keypoints) < 4 or self.prev_descriptors is None:
+            self._store(img_p, keypoints, descriptors)
+            return H
+
+        knn = self.matcher.knnMatch(self.prev_descriptors, descriptors, k=2)
+        matches, dxys = [], []
+        max_sd = 0.25 * np.array([w, h], np.float32)
+        for pair in knn:
+            if len(pair) != 2:
+                continue
+            m, n = pair
+            if m.distance >= 0.9 * n.distance:
+                continue
+            prev_pt = np.array(self.prev_keypoints[m.queryIdx].pt, np.float32)
+            curr_pt = np.array(keypoints[m.trainIdx].pt, np.float32)
+            dxy = prev_pt - curr_pt
+            if abs(dxy[0]) < max_sd[0] and abs(dxy[1]) < max_sd[1]:
+                matches.append(m)
+                dxys.append(dxy)
+        if len(matches) < 4:
+            self._store(img_p, keypoints, descriptors)
+            return H
+
+        dxys = np.asarray(dxys, np.float32)
+        ok = np.all((dxys - dxys.mean(axis=0)) < 2.5 * (dxys.std(axis=0) + 1e-6), axis=1)
+        good = [m for m, k in zip(matches, ok) if k]
+        if len(good) < 4:
+            self._store(img_p, keypoints, descriptors)
+            return H
+
+        prev_pts = np.array([self.prev_keypoints[m.queryIdx].pt for m in good], np.float32)
+        curr_pts = np.array([keypoints[m.trainIdx].pt for m in good], np.float32)
+        H_est, _ = cv2.estimateAffinePartial2D(prev_pts, curr_pts, method=cv2.RANSAC)
+        self._store(img_p, keypoints, descriptors)
+        if H_est is None:
+            return H
+        return self._upscale(H_est)
+
+
+class ORB(_DescriptorCMC):
+    """FAST keypoints + ORB descriptors + Hamming BFMatcher (orb.py:14-44)."""
+
+    def __init__(self, feature_detector_threshold: int = 20, scale: float = 0.15, **kw):
+        import cv2
+
+        super().__init__(scale=scale)
+        self.detector = cv2.FastFeatureDetector_create(
+            threshold=int(feature_detector_threshold)
+        )
+        self.extractor = cv2.ORB_create()
+        self.matcher = cv2.BFMatcher(cv2.NORM_HAMMING)
+
+
+class SIFT(_DescriptorCMC):
+    """SIFT keypoints/descriptors + L2 BFMatcher (sift.py:27-40).
+
+    Note: the reference's contrastThreshold=0.5 (vs the cv2 default 0.04)
+    detects zero keypoints on typical MOT footage at 0.15 scale, so this
+    estimator usually returns the identity warp — replicated verbatim for
+    parity.  Pass contrast_threshold=0.04 for a working SIFT CMC."""
+
+    def __init__(self, scale: float = 0.15, contrast_threshold: float = 0.5, **kw):
+        import cv2
+
+        super().__init__(scale=scale)
+        sift = lambda: cv2.SIFT_create(
+            nOctaveLayers=2, contrastThreshold=contrast_threshold, edgeThreshold=10
+        )
+        self.detector = sift()
+        self.extractor = sift()
+        self.matcher = cv2.BFMatcher(cv2.NORM_L2)
+
+
+class SOF(_FeatureCMC):
+    """Sparse optical flow: goodFeaturesToTrack + pyramidal LK + RANSAC
+    partial affine, with inlier-count/ratio rejection (sof.py:14-147)."""
+
+    def __init__(
+        self,
+        scale: float = 0.15,
+        min_inliers: int = 8,
+        min_inlier_ratio: float = 0.2,
+        ransac_reproj_threshold: float = 3.0,
+        **kw,
+    ):
+        import cv2
+
+        self.scale = float(scale)
+        self.min_inliers = int(min_inliers)
+        self.min_inlier_ratio = float(min_inlier_ratio)
+        self.ransac_reproj_threshold = float(ransac_reproj_threshold)
+        self.feature_params = dict(
+            maxCorners=1000, qualityLevel=0.01, minDistance=1, blockSize=3,
+            useHarrisDetector=False, k=0.04,
+        )
+        self.lk_params = dict(
+            winSize=(21, 21), maxLevel=3,
+            criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 30, 0.01),
+        )
+        self.prev_frame = None
+        self.prev_keypoints = None
+        self.initialized = False
+
+    def _detect(self, frame_gray, dets):
+        import cv2
+
+        return cv2.goodFeaturesToTrack(
+            frame_gray, mask=self._mask(frame_gray, dets), **self.feature_params
+        )
+
+    def _reset(self, frame_gray, dets=None):
+        kps = self._detect(frame_gray, dets)
+        self.prev_frame = frame_gray.copy()
+        self.prev_keypoints = kps
+        self.initialized = kps is not None and len(kps) >= 4
+
+    def apply(self, img, dets=None):
+        import cv2
+
+        frame_gray = self._preprocess(np.asarray(img))
+        H = np.eye(2, 3, dtype=np.float32)
+
+        if not self.initialized or self.prev_keypoints is None:
+            kps = self._detect(frame_gray, dets)
+            if kps is None or len(kps) < 4:
+                self.prev_frame = frame_gray.copy()
+                self.prev_keypoints = kps
+                self.initialized = False
+                return H
+            term = (cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 30, 0.01)
+            cv2.cornerSubPix(frame_gray, kps, (5, 5), (-1, -1), term)
+            self.prev_frame = frame_gray.copy()
+            self.prev_keypoints = kps.copy()
+            self.initialized = True
+            return H
+
+        next_kps, status, _ = cv2.calcOpticalFlowPyrLK(
+            self.prev_frame, frame_gray, self.prev_keypoints, None, **self.lk_params
+        )
+        if next_kps is None or status is None:
+            self._reset(frame_gray, dets)
+            return H
+        status = status.reshape(-1)
+        prev_valid = self.prev_keypoints[status == 1]
+        next_valid = next_kps[status == 1]
+        if len(prev_valid) < 4:
+            self._reset(frame_gray, dets)
+            return H
+
+        H_est, inliers = cv2.estimateAffinePartial2D(
+            prev_valid, next_valid, method=cv2.RANSAC,
+            ransacReprojThreshold=self.ransac_reproj_threshold,
+        )
+        n_in = 0 if inliers is None else int(np.count_nonzero(inliers))
+        if (
+            H_est is None
+            or n_in < self.min_inliers
+            or n_in / max(len(prev_valid), 1) < self.min_inlier_ratio
+        ):
+            H_est = H
+        else:
+            H_est = self._upscale(H_est)
+
+        new_kps = self._detect(frame_gray, dets)
+        if new_kps is None or len(new_kps) < 4:
+            new_kps = next_valid
+        self.prev_frame = frame_gray.copy()
+        self.prev_keypoints = new_kps.copy()
+        self.initialized = True
+        return H_est
+
+
 _CMC_REGISTRY = {
     "ecc": ECC,
+    "orb": ORB,
+    "sift": SIFT,
+    "sof": SOF,
     "none": NoCMC,
 }
 
