@@ -27,7 +27,9 @@ from boxmot_tpu.models.backbones import (
     build_resnet50,
     build_resnet101,
 )
+from boxmot_tpu.models.csl_tinyvit import build_csl_tinyvit
 from boxmot_tpu.models.cspreid import build_cspreid
+from boxmot_tpu.models.hacnn import build_hacnn
 from boxmot_tpu.models.lmbn import build_lmbn
 from boxmot_tpu.models.mlfn import build_mlfn
 from boxmot_tpu.models.osnet import OSNET_VARIANTS, build_osnet
@@ -35,6 +37,19 @@ from boxmot_tpu.models.vit import build_vit
 from boxmot_tpu.ops.crops import extract_crops
 
 CROP_BUCKETS = (1, 8, 16, 32, 64, 128, 256)
+
+CSL_VARIANTS = (
+    "csl_tinyvit_7m",
+    "csl_tinyvit_7m_lmbn",
+    "csl_tinyvit_11m",
+    "csl_tinyvit_11m_lmbn",
+    "csl_tinyvit_23m",
+    "csl_tinyvit_23m_lmbn",
+    "csl_tinyvit_small",
+    "csl_tinyvit_normal",
+    "csl_tinyvit_large",
+    "csl_tinyvit_lmbn",
+)
 
 VIT_VARIANTS = (
     "vit_nano",
@@ -48,11 +63,15 @@ VIT_VARIANTS = (
 MODEL_FACTORY = {name: partial(build_osnet, name) for name in OSNET_VARIANTS}
 MODEL_FACTORY.update({name: partial(build_vit, name) for name in VIT_VARIANTS})
 MODEL_FACTORY.update(
+    {name: partial(build_csl_tinyvit, name) for name in CSL_VARIANTS}
+)
+MODEL_FACTORY.update(
     {
         "lmbn_n": partial(build_lmbn, "lmbn_n"),
         "lmbn_ain_n": partial(build_lmbn, "lmbn_ain_n"),
         "cspreid_n": build_cspreid,
         "mlfn": build_mlfn,
+        "hacnn": build_hacnn,
     }
 )
 MODEL_FACTORY.update(

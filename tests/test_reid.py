@@ -242,6 +242,40 @@ class TestReIDFacade:
         outc = c.apply(vc, jnp.zeros((2, 128, 64, 3)))
         assert outc.shape == (2, 1536) and c.feature_dim == 1536
 
+    def test_csl_tinyvit(self):
+        from boxmot_tpu.models.csl_tinyvit import build_csl_tinyvit
+        from boxmot_tpu.reid.core import MODEL_FACTORY
+
+        for name in ("csl_tinyvit_7m", "csl_tinyvit_lmbn", "csl_tinyvit_large"):
+            assert name in MODEL_FACTORY
+        m = build_csl_tinyvit("csl_tinyvit_7m")
+        # small input: window padding path (grid not a multiple of 7/14)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 64, 3)))
+        out = np.asarray(
+            m.apply(v, jnp.asarray(RNG.uniform(-1, 1, (2, 96, 64, 3)), jnp.float32))
+        )
+        assert out.shape == (2, 1536) and np.isfinite(out).all()
+        assert not np.allclose(out[0], out[1])
+        # aliases resolve to the same architecture
+        assert build_csl_tinyvit("csl_tinyvit_small").embed_dims == m.embed_dims
+        lm = build_csl_tinyvit("csl_tinyvit_7m_lmbn")
+        assert lm.feature_dim == 7 * 512
+
+    def test_hacnn(self):
+        from boxmot_tpu.models.hacnn import build_hacnn
+        from boxmot_tpu.reid.core import MODEL_FACTORY
+
+        assert "hacnn" in MODEL_FACTORY
+        m = build_hacnn()
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 160, 64, 3)))
+        x = jnp.asarray(RNG.uniform(-1, 1, (2, 160, 64, 3)), jnp.float32)
+        out = np.asarray(m.apply(v, x))
+        assert out.shape == (2, 1024) and m.feature_dim == 1024
+        # global/local halves are L2-normalized before concatenation
+        np.testing.assert_allclose(np.linalg.norm(out[:, :512], axis=1), 1.0, atol=1e-4)
+        with pytest.raises(AssertionError, match="160x64"):
+            m.apply(v, jnp.zeros((1, 96, 64, 3)))
+
     def test_checkpoint_converter_dispatch(self):
         from boxmot_tpu.models.convert import convert_checkpoint
 
