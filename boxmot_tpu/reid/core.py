@@ -28,6 +28,7 @@ from boxmot_tpu.models.backbones import (
     build_resnet101,
 )
 from boxmot_tpu.models.csl_tinyvit import build_csl_tinyvit
+from boxmot_tpu.models.clip_reid import build_clip_reid
 from boxmot_tpu.models.cspreid import build_cspreid
 from boxmot_tpu.models.hacnn import build_hacnn
 from boxmot_tpu.models.lmbn import build_lmbn
@@ -72,6 +73,7 @@ MODEL_FACTORY.update(
         "cspreid_n": build_cspreid,
         "mlfn": build_mlfn,
         "hacnn": build_hacnn,
+        "clip": build_clip_reid,
     }
 )
 MODEL_FACTORY.update(

@@ -276,6 +276,42 @@ class TestReIDFacade:
         with pytest.raises(AssertionError, match="160x64"):
             m.apply(v, jnp.zeros((1, 96, 64, 3)))
 
+    def test_clip_reid(self):
+        from boxmot_tpu.models.clip_reid import build_clip_reid
+        from boxmot_tpu.reid.core import MODEL_FACTORY
+
+        assert "clip" in MODEL_FACTORY
+        m = build_clip_reid()
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)))
+        out = np.asarray(
+            m.apply(v, jnp.asarray(RNG.uniform(-1, 1, (2, 64, 32, 3)), jnp.float32))
+        )
+        assert out.shape == (2, 1280) and m.feature_dim == 1280  # 768 + 512
+        assert np.isfinite(out).all()
+
+    def test_factory_complete(self):
+        # every name in the reference MODEL_FACTORY (factory.py:27-63)
+        # must be constructible here
+        from boxmot_tpu.reid.core import MODEL_FACTORY
+
+        reference_names = [
+            "resnet50", "resnet101", "mobilenetv2_x1_0", "mobilenetv2_x1_4",
+            "hacnn", "mlfn",
+            "osnet_x1_0", "osnet_x0_75", "osnet_x0_5", "osnet_x0_25",
+            "osnet_ibn_x1_0",
+            "osnet_ain_x1_0", "osnet_ain_x0_75", "osnet_ain_x0_5", "osnet_ain_x0_25",
+            "lmbn_ain_n", "lmbn_n", "cspreid_n", "clip",
+            "vit_nano", "vit_nano_ain", "vit_nano_ain_os",
+            "vit_tiny", "vit_tiny_parts", "vit_tiny_parts3",
+            "csl_tinyvit_7m", "csl_tinyvit_7m_lmbn",
+            "csl_tinyvit_11m", "csl_tinyvit_11m_lmbn",
+            "csl_tinyvit_23m", "csl_tinyvit_23m_lmbn",
+            "csl_tinyvit_small", "csl_tinyvit_normal", "csl_tinyvit_large",
+            "csl_tinyvit_lmbn",
+        ]
+        missing = [n for n in reference_names if n not in MODEL_FACTORY]
+        assert not missing, f"missing factory entries: {missing}"
+
     def test_checkpoint_converter_dispatch(self):
         from boxmot_tpu.models.convert import convert_checkpoint
 
