@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import numpy as np
+
 from boxmot_tpu.detectors.base import BaseDetectorBackend, Detections
 
 
@@ -114,17 +116,109 @@ class RTDetrDetector(BaseDetectorBackend):
 
 
 class YoloXDetector(BaseDetectorBackend):
-    """YOLOX backend: raw-head decode + NMS run as JAX ops
-    (ops/nms.py yolox_decode + batched_class_nms).  The backbone forward
-    requires converted weights; construction without them raises."""
+    """YOLOX backend, fully TPU-native: letterbox on host (the ByteTrack
+    preprocessing the reference uses, detectors/yolox.py:201-237), then
+    one jitted device program for backbone forward + grid decode + NMS
+    (models/yolox.py + ops/nms.py).  Weights are yolox torch checkpoints
+    converted on load (models/yolox.convert_yolox); without a weights
+    file the net is randomly initialized (useful for shape/perf work
+    only)."""
 
-    def __init__(self, weights, **kwargs):
-        super().__init__(weights, **kwargs)
-        raise NotImplementedError(
-            "The YOLOX backbone port lands with converted weights; use cached "
-            "detections meanwhile. Decode/NMS device ops are available in "
-            "boxmot_tpu.ops.nms."
+    MAX_DETS = 256
+
+    def __init__(
+        self,
+        weights,
+        device=None,
+        half: bool = False,
+        imgsz=(800, 1440),
+        conf: float = 0.01,
+        iou: float = 0.7,
+        num_classes: int = 1,
+        **kwargs,
+    ):
+        super().__init__(weights, device, half)
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+
+        from boxmot_tpu.models.yolox import build_yolox, convert_yolox
+        from boxmot_tpu.ops.nms import nms as nms_op, yolox_decode
+
+        vals = imgsz if isinstance(imgsz, (list, tuple)) else (imgsz,)
+        h, w = (tuple(vals) * 2)[:2]
+        self.imgsz = (int(h), int(w))
+        self.conf = float(conf)
+        self.iou = float(iou)
+        name = Path(str(weights)).stem if weights is not None else "yolox_x"
+        self.model = build_yolox(name, num_classes=num_classes)
+        if weights is not None and Path(str(weights)).exists():
+            self.variables = convert_yolox(str(weights), name, num_classes)
+        else:
+            rng = jax.random.PRNGKey(0)
+            self.variables = self.model.init(
+                rng, jnp.zeros((1, *self.imgsz, 3), jnp.float32)
+            )
+
+        model = self.model
+        img_hw = self.imgsz
+        max_dets = self.MAX_DETS
+
+        @partial(jax.jit, static_argnames=())
+        def _forward(variables, img, conf_thr, iou_thr):
+            raw = model.apply(variables, img[None])[0]
+            boxes, obj, cls = yolox_decode(raw, img_hw=img_hw)
+            cls_conf = jnp.max(cls, axis=-1)
+            cls_id = jnp.argmax(cls, axis=-1).astype(jnp.float32)
+            score = obj * cls_conf  # final conf = obj * class (yolox.py:258)
+            valid = score >= conf_thr
+            keep_idx, keep_mask = nms_op(
+                boxes, jnp.where(valid, score, -1.0), iou_thr, max_dets
+            )
+            return boxes, score, cls_id, keep_idx, keep_mask
+
+        self._forward = _forward
+
+    def preprocess(self, img: np.ndarray):
+        """ByteTrack letterbox: resize to fit, pad 114, RGB/255 then
+        ImageNet standardize (detectors/yolox.py:201-237)."""
+        import cv2
+
+        ih, iw = self.imgsz
+        r = min(ih / img.shape[0], iw / img.shape[1])
+        resized = cv2.resize(
+            img,
+            (int(img.shape[1] * r), int(img.shape[0] * r)),
+            interpolation=cv2.INTER_LINEAR,
+        ).astype(np.float32)
+        padded = np.full((ih, iw, 3), 114.0, np.float32)
+        padded[: resized.shape[0], : resized.shape[1]] = resized
+        padded = padded[:, :, ::-1] / 255.0
+        padded = (padded - (0.485, 0.456, 0.406)) / (0.229, 0.224, 0.225)
+        return padded.astype(np.float32), r
+
+    def process(self, batch):
+        import jax.numpy as jnp
+
+        img, r = batch
+        boxes, score, cls_id, keep_idx, keep_mask = self._forward(
+            self.variables, jnp.asarray(img), self.conf, self.iou
         )
+        return (np.asarray(boxes), np.asarray(score), np.asarray(cls_id),
+                np.asarray(keep_idx), np.asarray(keep_mask), r)
+
+    def postprocess(self, raw, meta=None) -> Detections:
+        boxes, score, cls_id, keep_idx, keep_mask, r = raw
+        idx = keep_idx[keep_mask]
+        return Detections(
+            xyxy=boxes[idx] / r,  # undo letterbox scale
+            conf=score[idx],
+            cls=cls_id[idx],
+        )
+
+    def __call__(self, img: np.ndarray) -> Detections:
+        batch = self.preprocess(img)
+        return self.postprocess(self.process(batch))
 
 
 def get_detector_class(weights) -> type[BaseDetectorBackend]:

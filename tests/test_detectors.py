@@ -20,9 +20,11 @@ def test_registry_dispatch():
     assert get_detector_class("yolo11n.pt") is UltralyticsDetector
 
 
-def test_yolox_backend_requires_weights():
-    with pytest.raises(NotImplementedError):
-        create_detector("yolox_s.pt")
+def test_yolox_unknown_variant_rejected():
+    from boxmot_tpu.models.yolox import build_yolox
+
+    with pytest.raises(ValueError, match="unknown YOLOX variant"):
+        build_yolox("yolox_gigantic")
 
 
 def test_public_detections_backend():
@@ -82,3 +84,42 @@ def test_yolox_decode_shapes_and_geometry():
     np.testing.assert_allclose(np.asarray(boxes[0]), [0, 0, 8, 8], atol=1e-5)
     assert float(obj[0]) > 0.99
     assert cls.shape == (n_anchors, 3)
+
+
+class TestYoloX:
+    def test_forward_decode_shapes(self):
+        import jax
+        import jax.numpy as jnp
+
+        from boxmot_tpu.models.yolox import build_yolox, resolve_yolox_variant
+        from boxmot_tpu.ops.nms import yolox_decode
+
+        assert resolve_yolox_variant("yolox_x_MOT17_ablation") == "yolox_x"
+        assert resolve_yolox_variant("yolox_n") == "yolox_nano"
+        m = build_yolox("yolox_nano", num_classes=1)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+        raw = m.apply(v, jnp.zeros((2, 256, 256, 3)))
+        n_anchors = (256 // 8) ** 2 + (256 // 16) ** 2 + (256 // 32) ** 2
+        assert raw.shape == (2, n_anchors, 6)
+        boxes, obj, cls = yolox_decode(raw[0], img_hw=(256, 256))
+        assert boxes.shape == (n_anchors, 4) and cls.shape == (n_anchors, 1)
+
+    def test_backend_end_to_end(self):
+        from boxmot_tpu.detectors.registry import YoloXDetector, get_detector_class
+
+        assert get_detector_class("yolox_s_mot17.pt") is YoloXDetector
+        det = YoloXDetector("yolox_nano.pt", imgsz=(256, 256), conf=0.001)
+        img = np.random.default_rng(0).integers(0, 255, (480, 640, 3)).astype(np.uint8)
+        out = det(img)
+        assert out.as_dets().shape[1] == 6
+        # letterbox rescale keeps boxes in original-frame coordinates
+        if len(out):
+            assert (out.xyxy <= 660).all() and (out.xyxy >= -20).all()
+
+    def test_converter_rejects_garbage(self):
+        import pytest
+
+        from boxmot_tpu.models.yolox import convert_yolox
+
+        with pytest.raises((KeyError, ValueError)):
+            convert_yolox({"model": {"bogus.weight": np.zeros(3)}}, "yolox_s")
