@@ -39,18 +39,125 @@ def _index_market_dir(path: Path, relabel: bool):
 class Market1501:
     """Market-1501 layout: bounding_box_train / query / bounding_box_test."""
 
+    SUBDIRS = ("Market-1501-v15.09.15",)
+    TRAIN, QUERY, GALLERY = "bounding_box_train", "query", "bounding_box_test"
+    EXTS = ("*.jpg",)
+
     def __init__(self, root: Path):
         root = Path(root)
-        if (root / "Market-1501-v15.09.15").exists():
-            root = root / "Market-1501-v15.09.15"
-        self.train = _index_market_dir(root / "bounding_box_train", relabel=True)
-        self.query = _index_market_dir(root / "query", relabel=False)
-        self.gallery = _index_market_dir(root / "bounding_box_test", relabel=False)
+        for sub in self.SUBDIRS:
+            if (root / sub / self.TRAIN).is_dir():
+                root = root / sub
+                break
+        if not (root / self.TRAIN).is_dir():
+            raise FileNotFoundError(
+                f"cannot find {type(self).__name__} under {root} "
+                f"(expected {self.TRAIN}/)"
+            )
+        self.root = root
+        self.train = self._index(root / self.TRAIN, relabel=True)
+        self.query = self._index(root / self.QUERY, relabel=False)
+        self.gallery = self._index(root / self.GALLERY, relabel=False)
         self.num_train_pids = len({pid for _, pid, _ in self.train})
+
+    def _index(self, path, relabel):
+        items = []
+        for ext in self.EXTS:
+            for p in sorted(Path(path).glob(ext)):
+                m = _MARKET_RE.match(p.name)
+                if m is None:
+                    continue
+                pid, cam = int(m.group(1)), int(m.group(2))
+                if pid == -1:
+                    continue  # junk images
+                items.append((p, pid, cam - 1))
+        if relabel:
+            lut = {p: i for i, p in enumerate(sorted({pid for _, pid, _ in items}))}
+            items = [(p, lut[pid], cam) for p, pid, cam in items]
+        return items
+
+
+class DukeMTMCreID(Market1501):
+    """Same layout as Market-1501 (reference dukemtmcreid.py:1-60)."""
+
+    SUBDIRS = ("DukeMTMC-reID", "dukemtmc-reid", "dukemtmcreid", "duke")
+
+
+class CUHK03(Market1501):
+    """Market-style exported CUHK03 (reference cuhk03.py:39-108)."""
+
+    SUBDIRS = ("cuhk03", "CUHK03", "cuhk03-np")
+    EXTS = ("*.jpg", "*.png")
+
+
+class VeRi776(Market1501):
+    """VeRi-776 vehicle ReID: image_train / image_query / image_test
+    (reference veri776.py:35-78)."""
+
+    SUBDIRS = ("VeRi", "veri776", "VeRi776", "veri")
+    TRAIN, QUERY, GALLERY = "image_train", "image_query", "image_test"
+
+
+class MSMT17:
+    """MSMT17 list-file layout (reference msmt17.py:31-110):
+    list_{train,query,gallery}.txt lines are `<relpath> <pid>`; images
+    live under train/ (train split) and test/ (query/gallery)."""
+
+    SUBDIRS = ("MSMT17_V2", "MSMT17_V1", "MSMT17", "msmt17")
+
+    def __init__(self, root: Path, merged: bool = False):
+        root = Path(root)
+        if not (root / "list_train.txt").is_file():
+            for sub in self.SUBDIRS:
+                if (root / sub / "list_train.txt").is_file():
+                    root = root / sub
+                    break
+        if not (root / "list_train.txt").is_file():
+            raise FileNotFoundError(
+                f"cannot find MSMT17 under {root} (expected list_train.txt)"
+            )
+        self.root = root
+        self.train = self._load("list_train.txt", "train", relabel=True)
+        if merged:
+            extra = self._load("list_query.txt", "test", relabel=False)
+            extra += self._load("list_gallery.txt", "test", relabel=False)
+            offset = max((pid for _, pid, _ in self.train), default=-1) + 1
+            lut = {
+                pid: offset + i
+                for i, pid in enumerate(sorted({pid for _, pid, _ in extra}))
+            }
+            self.train += [(p, lut[pid], cam) for p, pid, cam in extra]
+        self.query = self._load("list_query.txt", "test", relabel=False)
+        self.gallery = self._load("list_gallery.txt", "test", relabel=False)
+        self.num_train_pids = len({pid for _, pid, _ in self.train})
+
+    def _load(self, list_name, img_subdir, relabel):
+        items = []
+        for line in (self.root / list_name).read_text().splitlines():
+            parts = line.split()
+            if len(parts) != 2:
+                continue
+            rel, pid = parts[0], int(parts[1])
+            # camera from the third filename field: 0001_001_01_... -> 1
+            # (reference _parse_msmt17_list, msmt17.py:97-99)
+            fields = Path(rel).name.split("_")
+            cam = int(fields[2]) - 1 if len(fields) > 2 and fields[2].isdigit() else 0
+            base = self.root / img_subdir if (self.root / img_subdir).is_dir() else self.root
+            items.append((base / rel, pid, cam))
+        if relabel:
+            lut = {p: i for i, p in enumerate(sorted({pid for _, pid, _ in items}))}
+            items = [(p, lut[pid], cam) for p, pid, cam in items]
+        return items
 
 
 DATASET_REGISTRY = {
     "market1501": Market1501,
+    "dukemtmcreid": DukeMTMCreID,
+    "duke": DukeMTMCreID,
+    "cuhk03": CUHK03,
+    "msmt17": MSMT17,
+    "veri776": VeRi776,
+    "veri": VeRi776,
 }
 
 

@@ -181,3 +181,59 @@ class TestRankingEval:
         res = evaluate_reid(model, variables, ds, hw=(64, 32))
         assert set(res) == {"rank1", "rank5", "mAP"}
         assert 0.0 <= res["mAP"] <= 1.0
+
+
+class TestDatasetIndexers:
+    @staticmethod
+    def _img(path):
+        import cv2
+
+        path.parent.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(path), np.zeros((64, 32, 3), np.uint8))
+
+    def test_duke_layout(self, tmp_path):
+        from boxmot_tpu.reid.datasets import load_dataset
+
+        duke = tmp_path / "DukeMTMC-reID"
+        for pid in (1, 2):
+            for cam in (1, 2):
+                self._img(duke / "bounding_box_train" / f"{pid:04d}_c{cam}_f0001.jpg")
+        self._img(duke / "query" / "0001_c1_f0002.jpg")
+        self._img(duke / "bounding_box_test" / "0001_c2_f0003.jpg")
+        ds = load_dataset("duke", tmp_path)
+        assert len(ds.train) == 4 and ds.num_train_pids == 2
+        assert ds.train[0][1] == 0  # relabeled
+        assert len(ds.query) == 1 and len(ds.gallery) == 1
+
+    def test_veri_layout(self, tmp_path):
+        from boxmot_tpu.reid.datasets import load_dataset
+
+        veri = tmp_path / "VeRi"
+        self._img(veri / "image_train" / "0005_c002_00030600_0.jpg")
+        self._img(veri / "image_query" / "0005_c003_00030600_0.jpg")
+        self._img(veri / "image_test" / "0005_c004_00030600_0.jpg")
+        ds = load_dataset("veri776", tmp_path)
+        assert (len(ds.train), len(ds.query), len(ds.gallery)) == (1, 1, 1)
+        assert ds.query[0][2] == 2  # cam 003 -> 2
+
+    def test_msmt17_list_files(self, tmp_path):
+        from boxmot_tpu.reid.datasets import MSMT17, load_dataset
+
+        ms = tmp_path / "MSMT17"
+        self._img(ms / "train" / "0000" / "0000_000_01_0303morning_0015_0.jpg")
+        self._img(ms / "test" / "0001" / "0001_000_02_0303morning_0015_0.jpg")
+        (ms / "list_train.txt").write_text("0000/0000_000_01_0303morning_0015_0.jpg 0\n")
+        (ms / "list_query.txt").write_text("0001/0001_000_02_0303morning_0015_0.jpg 1\n")
+        (ms / "list_gallery.txt").write_text("0001/0001_000_02_0303morning_0015_0.jpg 1\n")
+        ds = load_dataset("msmt17", ms)
+        assert ds.train[0][2] == 0 and ds.query[0][2] == 1  # cam from field 3
+        merged = MSMT17(ms, merged=True)
+        assert len(merged.train) == 3 and merged.num_train_pids == 2
+
+    def test_missing_dataset_raises(self, tmp_path):
+        from boxmot_tpu.reid.datasets import load_dataset
+
+        with pytest.raises(FileNotFoundError):
+            load_dataset("duke", tmp_path)
+        with pytest.raises(ValueError, match="unknown reid dataset"):
+            load_dataset("imagenet", tmp_path)
