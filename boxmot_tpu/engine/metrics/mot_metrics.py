@@ -116,6 +116,89 @@ def preprocess_sequence(
     return SeqEvalData(gt_ids_per_t, trk_ids_per_t, sims, n_gt, n_trk)
 
 
+def _rotated_iou_polys(gt_polys: np.ndarray, trk_polys: np.ndarray) -> np.ndarray:
+    """Rotated IoU between corner polygons (N, 8) x (M, 8) via
+    cv2.minAreaRect + rotatedRectangleIntersection — exact mirror of the
+    OBB TrackEval similarity (mot_challenge_obb.py:58-86)."""
+    import cv2
+
+    n, m = len(gt_polys), len(trk_polys)
+    out = np.zeros((n, m), np.float32)
+    if n == 0 or m == 0:
+        return out
+    g_rects = [cv2.minAreaRect(p.reshape(4, 2).astype(np.float32)) for p in gt_polys]
+    t_rects = [cv2.minAreaRect(p.reshape(4, 2).astype(np.float32)) for p in trk_polys]
+    g_areas = [r[1][0] * r[1][1] for r in g_rects]
+    t_areas = [r[1][0] * r[1][1] for r in t_rects]
+    for i in range(n):
+        if g_areas[i] <= EPS:
+            continue
+        for j in range(m):
+            if t_areas[j] <= EPS:
+                continue
+            ret, inter = cv2.rotatedRectangleIntersection(g_rects[i], t_rects[j])
+            if ret == cv2.INTERSECT_NONE or inter is None or len(inter) == 0:
+                continue
+            ia = float(cv2.contourArea(inter))
+            union = g_areas[i] + t_areas[j] - ia
+            if union > EPS:
+                out[i, j] = ia / union
+    return out
+
+
+def obb_to_corners(xywha: np.ndarray) -> np.ndarray:
+    """(N, 5) [cx, cy, w, h, theta_rad] -> (N, 8) corner polygons."""
+    import cv2
+
+    out = np.zeros((len(xywha), 8), np.float32)
+    for i, (cx, cy, w, h, a) in enumerate(np.asarray(xywha, np.float64)):
+        pts = cv2.boxPoints(((cx, cy), (max(w, 1e-4), max(h, 1e-4)), np.degrees(a)))
+        out[i] = pts.reshape(-1)
+    return out
+
+
+def preprocess_sequence_obb(
+    gt_rows: np.ndarray,
+    trk_rows: np.ndarray,
+    seq_length: int,
+    cls_id: int | None = None,
+) -> SeqEvalData:
+    """OBB MOT preprocessing (CustomMotChallengeOBB semantics,
+    mot_challenge_obb.py:197-319): corner-format rows
+    [frame, id, x1..y4 (cols 2-9), conf, cls]; per-frame class filtering
+    only (no distractor removal), rotated-IoU similarity.
+    """
+    gt_f = gt_rows[:, 0].astype(int) if gt_rows.size else np.zeros(0, int)
+    tr_f = trk_rows[:, 0].astype(int) if trk_rows.size else np.zeros(0, int)
+
+    gt_ids_per_t, trk_ids_per_t, sims = [], [], []
+    for t in range(1, seq_length + 1):
+        g = gt_rows[gt_f == t] if gt_rows.size else np.zeros((0, 12))
+        r = trk_rows[tr_f == t] if trk_rows.size else np.zeros((0, 12))
+        if cls_id is not None:
+            if len(g) and g.shape[1] > 11:
+                g = g[g[:, 11].astype(int) == cls_id]
+            if len(r) and r.shape[1] > 11:
+                r = r[r[:, 11].astype(int) == cls_id]
+        sim = _rotated_iou_polys(g[:, 2:10], r[:, 2:10])
+        gt_ids_per_t.append(g[:, 1].astype(int))
+        trk_ids_per_t.append(r[:, 1].astype(int))
+        sims.append(sim)
+
+    def relabel(ids_per_t):
+        uniq = (
+            np.unique(np.concatenate(ids_per_t))
+            if any(len(x) for x in ids_per_t)
+            else np.zeros(0, int)
+        )
+        lut = {v: i for i, v in enumerate(uniq)}
+        return [np.array([lut[v] for v in ids], int) for ids in ids_per_t], len(uniq)
+
+    gt_ids_per_t, n_gt = relabel(gt_ids_per_t)
+    trk_ids_per_t, n_trk = relabel(trk_ids_per_t)
+    return SeqEvalData(gt_ids_per_t, trk_ids_per_t, sims, n_gt, n_trk)
+
+
 # ---------------------------------------------------------------------------
 # CLEAR
 # ---------------------------------------------------------------------------

@@ -1,6 +1,7 @@
 """HOTA/CLEAR/Identity metric implementation tests with analytic cases."""
 
 import numpy as np
+import pytest
 
 from boxmot_tpu.engine.metrics.mot_metrics import (
     SeqEvalData,
@@ -149,3 +150,79 @@ def test_multi_sequence_combination():
     np.testing.assert_allclose(c["MOTA"], 0.75)
     assert set(res["per_seq"]) == {"a", "b"}
     np.testing.assert_allclose(res["per_seq"]["a"]["HOTA"], 1.0, atol=1e-9)
+
+
+class TestOBBEvaluation:
+    @staticmethod
+    def _rows(id_offset=10, frames=8):
+        from boxmot_tpu.engine.metrics.mot_metrics import obb_to_corners
+
+        gt_rows, trk_rows = [], []
+        for f in range(1, frames + 1):
+            boxes = np.array(
+                [
+                    [100 + 5 * f, 100, 60, 24, 0.1 + 0.02 * f],
+                    [300 - 5 * f, 150, 40, 80, -0.3],
+                ],
+                np.float32,
+            )
+            corners = obb_to_corners(boxes)
+            for i, tid in enumerate((1, 2)):
+                gt_rows.append([f, tid, *corners[i], 1.0, 1])
+                trk_rows.append([f, tid + id_offset, *corners[i], 0.9, 1])
+        return np.array(gt_rows), np.array(trk_rows)
+
+    def test_perfect_tracking(self):
+        from boxmot_tpu.engine.metrics.mot_metrics import (
+            evaluate_sequences,
+            preprocess_sequence_obb,
+        )
+
+        gt, trk = self._rows()
+        data = preprocess_sequence_obb(gt, trk, 8)
+        c = evaluate_sequences({"s": data})["combined"]
+        assert c["HOTA"] == pytest.approx(1.0)
+        assert c["MOTA"] == pytest.approx(1.0)
+        assert c["IDF1"] == pytest.approx(1.0)
+
+    def test_id_switch_penalized(self):
+        from boxmot_tpu.engine.metrics.mot_metrics import (
+            evaluate_sequences,
+            preprocess_sequence_obb,
+        )
+
+        gt, trk = self._rows()
+        mask = (trk[:, 0] > 4) & (trk[:, 1] == 11)
+        trk[mask, 1] = 13
+        c = evaluate_sequences({"s": preprocess_sequence_obb(gt, trk, 8)})["combined"]
+        assert c["IDSW"] == 1
+        assert c["IDF1"] == pytest.approx(0.75)
+        assert c["HOTA"] == pytest.approx(np.sqrt(0.75), abs=1e-3)
+
+    def test_rotated_similarity_semantics(self):
+        from boxmot_tpu.engine.metrics.mot_metrics import (
+            _rotated_iou_polys,
+            obb_to_corners,
+        )
+
+        a = obb_to_corners(np.array([[100, 100, 60, 24, 0.4]]))
+        # same rect in the flipped parameterization -> IoU 1
+        b = obb_to_corners(np.array([[100, 100, 24, 60, 0.4 + np.pi / 2]]))
+        sim = _rotated_iou_polys(a, b)
+        assert sim[0, 0] == pytest.approx(1.0, abs=1e-3)
+        # 90-degree cross of a non-square rect -> well below 1
+        c = obb_to_corners(np.array([[100, 100, 60, 24, 0.4 + np.pi / 2]]))
+        assert _rotated_iou_polys(a, c)[0, 0] < 0.5
+
+    def test_class_filter(self):
+        from boxmot_tpu.engine.metrics.mot_metrics import (
+            evaluate_sequences,
+            preprocess_sequence_obb,
+        )
+
+        gt, trk = self._rows()
+        trk[:, 11] = 2  # wrong class for every tracker det
+        c = evaluate_sequences({"s": preprocess_sequence_obb(gt, trk, 8, cls_id=1)})[
+            "combined"
+        ]
+        assert c["HOTA"] == pytest.approx(0.0)
