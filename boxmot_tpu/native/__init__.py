@@ -92,6 +92,13 @@ def get_library():
         ctypes.POINTER(ctypes.c_double),
         ctypes.c_int64,
     ]
+    lib.bmt_lapjv.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     _LIB = lib
     return _LIB
 
@@ -166,3 +173,29 @@ def write_mot_native(path, rows: np.ndarray) -> bool:
     if rc != 0:
         raise IOError(lib.bmt_last_error().decode())
     return True
+
+
+def lapjv_native(cost: np.ndarray, limit: float) -> np.ndarray | None:
+    """Exact JV assignment with cost-limit semantics (bmt_lapjv).
+
+    Returns r2c (n,) int32 with -1 for unassigned, or None when the
+    native library is unavailable.
+    """
+    lib = get_library()
+    if lib is None:
+        return None
+    cost = np.ascontiguousarray(cost, np.float64)
+    n, m = cost.shape
+    r2c = np.full(n, -1, np.int32)
+    if n == 0:
+        return r2c
+    rc = lib.bmt_lapjv(
+        cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n,
+        m,
+        float(limit),
+        r2c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        return None
+    return r2c

@@ -131,8 +131,6 @@ def linear_assignment_np(cost: np.ndarray, thresh: float):
 
     Returns (matches (K,2) int array, unmatched_rows, unmatched_cols).
     """
-    from scipy.optimize import linear_sum_assignment
-
     cost = np.asarray(cost, dtype=np.float64)
     n, m = cost.shape
     if cost.size == 0:
@@ -142,14 +140,24 @@ def linear_assignment_np(cost: np.ndarray, thresh: float):
             np.arange(m),
         )
     limit = float(thresh)
-    big = np.full((n + m, n + m), limit / 2.0, dtype=np.float64)
-    big[n:, m:] = 0.0
-    big[:n, :m] = cost
-    rows, cols = linear_sum_assignment(big)
-    row_to_col = np.full(n, -1, dtype=int)
-    for r, c in zip(rows, cols):
-        if r < n and c < m:
-            row_to_col[r] = c
+    # native JV solver when built (boxmot_tpu.native, bmt_lapjv) — exact
+    # same augmented construction, no scipy dependency on the hot host path
+    from boxmot_tpu.native import lapjv_native
+
+    native = lapjv_native(cost, limit)
+    if native is not None:
+        row_to_col = native.astype(int)
+    else:
+        from scipy.optimize import linear_sum_assignment
+
+        big = np.full((n + m, n + m), limit / 2.0, dtype=np.float64)
+        big[n:, m:] = 0.0
+        big[:n, :m] = cost
+        rows, cols = linear_sum_assignment(big)
+        row_to_col = np.full(n, -1, dtype=int)
+        for r, c in zip(rows, cols):
+            if r < n and c < m:
+                row_to_col[r] = c
     matches = np.array(
         [[r, row_to_col[r]] for r in range(n) if row_to_col[r] >= 0], dtype=int
     ).reshape(-1, 2)

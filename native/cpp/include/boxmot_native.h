@@ -52,6 +52,17 @@ int bmt_pack_frames_f32(
 /* Write MOT rows (n, 9) [frame,id,x,y,w,h,conf,cls,ind] as csv text. */
 int bmt_write_mot(const char* path, const double* rows, int64_t n);
 
+/* Solve a rectangular assignment with a cost limit (lap.lapjv
+ * extend_cost=True, cost_limit=limit semantics; the reference native
+ * assignment, trackers/base/src/assignment.cpp).  The problem is
+ * augmented to square with limit/2 dummy costs and solved exactly with
+ * Jonker-Volgenant shortest augmenting paths.
+ *   cost: (n_rows x n_cols) row-major doubles
+ *   r2c:  preallocated n_rows int32 output; -1 = unassigned
+ * Returns 0 on success. */
+int bmt_lapjv(const double* cost, int64_t n_rows, int64_t n_cols,
+              double limit, int32_t* r2c);
+
 void bmt_free(void* ptr);
 
 #ifdef __cplusplus

@@ -8,6 +8,7 @@
 #include <cstring>
 #include <string>
 #include <vector>
+#include <limits>
 
 namespace {
 
@@ -217,6 +218,56 @@ int bmt_write_mot(const char* path, const double* rows, int64_t n) {
                      r[6], static_cast<int>(r[7]), static_cast<int>(r[8]));
     }
     std::fclose(f);
+    return 0;
+}
+
+int bmt_lapjv(const double* cost, int64_t n_rows, int64_t n_cols,
+              double limit, int32_t* r2c) {
+    const int64_t n = n_rows, m = n_cols, N = n + m;
+    if (n == 0) return 0;
+    if (N == 0 || !cost || !r2c) { g_error = "bmt_lapjv: bad args"; return -1; }
+    const double half = limit / 2.0;
+    auto C = [&](int64_t i, int64_t j) -> double {
+        if (i < n && j < m) return cost[i * m + j];
+        if (i >= n && j >= m) return 0.0;
+        return half;
+    };
+    // Jonker-Volgenant via successive shortest augmenting paths with
+    // row/column potentials (exact O(N^3); N is small in tracking).
+    std::vector<double> u(N + 1, 0.0), v(N + 1, 0.0);
+    std::vector<int64_t> p(N + 1, N), way(N + 1, 0);
+    const double INF = std::numeric_limits<double>::infinity();
+    for (int64_t i = 0; i < N; ++i) {
+        p[N] = i;
+        int64_t j0 = N;  // virtual start column
+        std::vector<double> minv(N + 1, INF);
+        std::vector<char> used(N + 1, 0);
+        do {
+            used[j0] = 1;
+            int64_t i0 = p[j0], j1 = 0;
+            double delta = INF;
+            for (int64_t j = 0; j < N; ++j) {
+                if (used[j]) continue;
+                double cur = C(i0, j) - u[i0] - v[j];
+                if (cur < minv[j]) { minv[j] = cur; way[j] = j0; }
+                if (minv[j] < delta) { delta = minv[j]; j1 = j; }
+            }
+            for (int64_t j = 0; j <= N; ++j) {
+                if (used[j]) { u[p[j]] += delta; v[j] -= delta; }
+                else { minv[j] -= delta; }
+            }
+            j0 = j1;
+        } while (p[j0] != N);
+        do {
+            int64_t j1 = way[j0];
+            p[j0] = p[j1];
+            j0 = j1;
+        } while (j0 != N);
+    }
+    for (int64_t i = 0; i < n; ++i) r2c[i] = -1;
+    for (int64_t j = 0; j < m; ++j) {
+        if (p[j] < n) r2c[p[j]] = static_cast<int32_t>(j);
+    }
     return 0;
 }
 

@@ -82,3 +82,62 @@ def test_write_mot(tmp_path):
     back = np.loadtxt(path, delimiter=",", ndmin=2)
     np.testing.assert_allclose(back[:, :6], rows[:, :6])
     np.testing.assert_allclose(back[:, 6], rows[:, 6], atol=1e-6)
+
+
+class TestNativeLapjv:
+    def test_matches_scipy_objective(self):
+        from scipy.optimize import linear_sum_assignment
+
+        from boxmot_tpu.native import lapjv_native, native_available
+
+        if not native_available():
+            import pytest
+
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(3)
+        for _ in range(100):
+            n, m = rng.integers(1, 10, 2)
+            cost = rng.uniform(0, 2, (n, m))
+            limit = float(rng.uniform(0.3, 1.5))
+            r2c = lapjv_native(cost, limit)
+            big = np.full((n + m, n + m), limit / 2.0)
+            big[n:, m:] = 0.0
+            big[:n, :m] = cost
+            rows, cols = linear_sum_assignment(big)
+            ref = np.full(n, -1, int)
+            for r, c in zip(rows, cols):
+                if r < n and c < m:
+                    ref[r] = c
+
+            def obj(a):
+                used = set()
+                t = 0.0
+                for r, c in enumerate(a):
+                    if c >= 0:
+                        t += cost[r, c]
+                        used.add(c)
+                    else:
+                        t += limit / 2
+                return t + (m - len(used)) * limit / 2
+
+            assert abs(obj(r2c) - obj(ref)) < 1e-9
+
+    def test_empty_and_degenerate(self):
+        from boxmot_tpu.native import lapjv_native, native_available
+
+        if not native_available():
+            import pytest
+
+            pytest.skip("native library unavailable")
+        assert lapjv_native(np.zeros((0, 3)), 1.0).shape == (0,)
+        # one row, all costs above the limit -> unassigned
+        r2c = lapjv_native(np.array([[5.0, 6.0]]), 1.0)
+        assert r2c.tolist() == [-1]
+
+    def test_linear_assignment_np_uses_native(self):
+        from boxmot_tpu.ops.lap import linear_assignment_np
+
+        cost = np.array([[0.1, 0.9], [0.8, 0.2]])
+        m, ur, uc = linear_assignment_np(cost, 0.5)
+        assert m.tolist() == [[0, 0], [1, 1]]
+        assert len(ur) == 0 and len(uc) == 0
