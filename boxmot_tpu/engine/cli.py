@@ -133,8 +133,9 @@ def generate(data, cache_root, detector, reid_weights, preprocess):
 @click.option("--save-video", type=click.Path(), default=None,
               help="render plot_results frames into an mp4")
 @click.option("--show-trajectories/--no-show-trajectories", default=True)
+@click.option("--show-timing", is_flag=True, help="print per-stage timing summary")
 @click.option("--param", "-p", multiple=True)
-def track(source, tracker, reid_weights, save_txt, save_video, show_trajectories, param):
+def track(source, tracker, reid_weights, save_txt, save_video, show_trajectories, show_timing, param):
     """Run live tracking over a frame source."""
     from boxmot_tpu.engine.generate import load_frame
     from boxmot_tpu.engine.mot_io import convert_to_mot_format, write_mot_results
@@ -157,6 +158,12 @@ def track(source, tracker, reid_weights, save_txt, save_video, show_trajectories
         else:
             kwargs["reid_model"] = ReID(model_name=reid_weights)
     trk = create_tracker(tracker, **kwargs)
+    stats = None
+    if show_timing:
+        from boxmot_tpu.utils.timing import TimedTracker, TimingStats
+
+        stats = TimingStats()
+        trk = TimedTracker(trk, stats)
 
     # Detections: public det.txt if present, else error (detector backends
     # arrive with the detector subsystem).
@@ -208,6 +215,8 @@ def track(source, tracker, reid_weights, save_txt, save_video, show_trajectories
     if save_txt:
         write_mot_results(save_txt, all_rows)
         click.echo(f"wrote {len(all_rows)} rows to {save_txt}")
+    if stats is not None:
+        click.echo(stats.summary())
 
 
 @cli.command("tune-kf")

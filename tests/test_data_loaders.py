@@ -57,3 +57,13 @@ def test_per_class_tracking():
     assert out.shape[0] == 2
     assert len(set(out.id.astype(int))) == 2
     assert set(out.cls.astype(int)) == {0, 2}
+
+
+def test_compute_fps_mask():
+    from boxmot_tpu.data.mot import compute_fps_mask
+
+    frames = np.arange(1, 31)
+    m = compute_fps_mask(frames, 30, 10)
+    assert frames[m].tolist() == [1, 4, 7, 10, 13, 16, 19, 22, 25, 28]
+    assert compute_fps_mask(frames, 30, 60).all()  # target above original
+    assert compute_fps_mask(np.zeros(0), 30, 10).shape == (0,)
