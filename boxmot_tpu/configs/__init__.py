@@ -44,3 +44,47 @@ def get_tracker_defaults(name: str) -> dict:
         return flatten_config(load_tracker_config(name))
     except FileNotFoundError:
         return {}
+
+
+_MODES_PATH = Path(__file__).resolve().parent / "modes.yaml"
+_MODES_CACHE: dict | None = None
+
+
+def _modes() -> dict:
+    global _MODES_CACHE
+    if _MODES_CACHE is None:
+        _MODES_CACHE = yaml.safe_load(_MODES_PATH.read_text()) or {}
+    return _MODES_CACHE
+
+
+def get_mode_defaults(mode: str) -> dict:
+    """Merged defaults for a workflow mode: shared + runtime + the mode
+    section (reference configs/__init__.py get_mode_defaults over
+    modes.yaml)."""
+    modes = _modes()
+    mode = str(mode).lower()
+    if mode not in modes and mode not in ("shared", "runtime"):
+        raise ValueError(f"unknown mode {mode!r}; available: "
+                         f"{sorted(k for k in modes if k not in ('shared', 'runtime'))}")
+    out = dict(modes.get("shared") or {})
+    out.update(modes.get("runtime") or {})
+    out.update(modes.get(mode) or {})
+    return out
+
+
+def build_mode_namespace(mode: str, payload: dict | None = None,
+                         explicit_keys=None):
+    """Normalized SimpleNamespace for CLI / Python API workflows
+    (reference build_mode_namespace, configs/__init__.py:245-280):
+    defaults from modes.yaml, then payload values override — all payload
+    keys win when explicit_keys is None, otherwise only the listed ones."""
+    from types import SimpleNamespace
+
+    values = get_mode_defaults(mode)
+    payload = dict(payload or {})
+    explicit = set(explicit_keys) if explicit_keys is not None else set(payload)
+    for key, val in payload.items():
+        if key in explicit or key not in values:
+            values[key] = val
+    values["mode"] = str(mode).lower()
+    return SimpleNamespace(**values)

@@ -54,3 +54,28 @@ def test_tuner_end_to_end(tmp_path):
     assert len(t.trials) == 4
     best2 = t.fit(n_trials=4)
     assert best2["score"] == best["score"]
+
+
+class TestModeDefaults:
+    def test_mode_defaults_merge(self):
+        from boxmot_tpu.configs import get_mode_defaults
+
+        d = get_mode_defaults("eval")
+        assert d["tracker"] == "bytetrack"  # runtime tier
+        assert d["reid"] == "osnet_x0_25"  # shared tier
+        assert d["min_det_conf"] == 0.0  # mode tier
+
+    def test_build_mode_namespace_overrides(self):
+        from boxmot_tpu.configs import build_mode_namespace
+
+        ns = build_mode_namespace("track", {"tracker": "occluboost"})
+        assert ns.mode == "track" and ns.tracker == "occluboost"
+        assert ns.show_timing is False  # untouched default
+
+    def test_unknown_mode(self):
+        import pytest
+
+        from boxmot_tpu.configs import get_mode_defaults
+
+        with pytest.raises(ValueError, match="unknown mode"):
+            get_mode_defaults("deploy")
