@@ -14,6 +14,9 @@ Public surface (mirrors reference boxmot/__init__.py:12-50):
 __version__ = "0.1.0"
 
 _LAZY = {
+    "Boxmot": "boxmot_tpu.api",
+    "track": "boxmot_tpu.api",
+    "evaluate": "boxmot_tpu.api",
     "create_tracker": "boxmot_tpu.trackers.zoo",
     "get_tracker_config": "boxmot_tpu.trackers.zoo",
     "TRACKER_REGISTRY": "boxmot_tpu.trackers.zoo",

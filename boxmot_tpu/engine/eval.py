@@ -90,11 +90,14 @@ def run_eval(
     seq_data = {}
     for seq in dataset:
         embs = None
+        # motion-only tracker configs carry no feat_dim; cached embeddings
+        # are ignored for them (the reference replay does the same)
+        wants_embs = hasattr(cfg, "feat_dim")
         if cache_root is not None:
             dets = load_cached_dets_per_frame(
                 det_cache_path(cache_root, detector, seq.name), seq.seq_length
             )
-            if reid is not None:
+            if reid is not None and wants_embs:
                 embs = load_cached_embs_per_frame(
                     emb_cache_path(cache_root, detector, reid, seq.name, preprocess),
                     seq.seq_length,
