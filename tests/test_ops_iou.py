@@ -167,3 +167,46 @@ class TestRotatedIoU:
         b = np.array([[0, 0, 2, 2, 0.9]], np.float32)
         got = np.asarray(I.iou_batch_obb(a, b))[0, 0]
         np.testing.assert_allclose(got, 4.0 / 100.0, atol=1e-5)
+
+
+class TestPallasFusedCost:
+    # local imports: the module header only pulls specific asso funcs
+    def _boxes(self, n, rng):
+        b = np.zeros((n, 4), np.float32)
+        b[:, :2] = rng.uniform(0, 500, (n, 2))
+        b[:, 2:] = b[:, :2] + rng.uniform(10, 100, (n, 2))
+        return b
+
+    def test_interpret_matches_jnp(self):
+        import jax.numpy as jnp
+
+        from boxmot_tpu.ops.pallas_kernels import (
+            _fused_iou_cost_jnp,
+            fused_iou_cost,
+        )
+
+        rng = np.random.default_rng(0)
+        trk = self._boxes(64, rng)
+        det = self._boxes(32, rng)
+        conf = rng.uniform(0.1, 1, 32).astype(np.float32)
+        iou_p, cost_p = fused_iou_cost(trk, det, conf, interpret=True)
+        iou_j, cost_j = _fused_iou_cost_jnp(
+            jnp.asarray(trk), jnp.asarray(det), jnp.asarray(conf)
+        )
+        np.testing.assert_allclose(np.asarray(iou_p), np.asarray(iou_j), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cost_p), np.asarray(cost_j), atol=1e-6)
+
+    def test_default_path_matches_iou_batch(self):
+        import jax.numpy as jnp
+
+        from boxmot_tpu.ops.iou import iou_batch
+        from boxmot_tpu.ops.pallas_kernels import fused_iou_cost
+
+        rng = np.random.default_rng(1)
+        trk = self._boxes(16, rng)
+        det = self._boxes(16, rng)
+        conf = np.ones(16, np.float32)
+        iou, cost = fused_iou_cost(trk, det, conf)
+        ref = np.asarray(iou_batch(jnp.asarray(trk), jnp.asarray(det)))
+        np.testing.assert_allclose(np.asarray(iou), ref, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cost), 1.0 - ref, atol=1e-5)
