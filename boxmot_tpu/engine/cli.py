@@ -318,6 +318,49 @@ def research(data, tracker, n_candidates, work_dir, seed):
         click.echo(f"  {k}: {v}")
 
 
+@cli.command("export")
+@click.option("--weights", default=None, help="torchreid checkpoint to convert (optional)")
+@click.option("--model", default="osnet_x0_25", show_default=True)
+@click.option("--include", default="tflite", show_default=True,
+              help="comma list: checkpoint,torch,saved_model,tflite")
+@click.option("--out-dir", type=click.Path(), default="exports", show_default=True)
+@click.option("--imgsz", default="256,128", show_default=True, help="crop H,W")
+@click.option("--int8", is_flag=True, help="TFLite dynamic-range quantization")
+@click.option("--verify/--no-verify", "do_verify", default=True,
+              help="compare exported outputs against the Flax forward")
+def export(weights, model, include, out_dir, imgsz, int8, do_verify):
+    """Export a ReID backbone (reference `boxmot export`, engine/cli.py:430+)."""
+    from boxmot_tpu.reid import ReID
+    from boxmot_tpu.reid import exporters as ex
+
+    hw = tuple(int(v) for v in imgsz.split(","))
+    reid = ReID(weights=weights, model_name=None if weights else model, crop_hw=hw)
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    stem = reid.model_name
+    targets = [t.strip() for t in include.split(",") if t.strip()]
+    for target in targets:
+        if target == "checkpoint":
+            path = ex.export_checkpoint(reid.variables, out / f"{stem}.msgpack")
+        elif target == "torch":
+            path = ex.export_torch_state_dict(reid.variables, out / f"{stem}.pt")
+        elif target == "saved_model":
+            path = ex.export_saved_model(reid.model, reid.variables, out / f"{stem}_saved", hw=hw)
+        elif target == "tflite":
+            path = ex.export_tflite(
+                reid.model, reid.variables, out / f"{stem}.tflite", hw=hw, quantize="dynamic" if int8 else None
+            )
+            if do_verify:
+                diff = ex.verify_export(reid.model, reid.variables, path, hw=hw, atol=5e-3)
+                click.echo(f"tflite max |diff| vs flax: {diff:.2e}")
+        else:
+            raise click.ClickException(
+                f"unknown export target {target!r}; "
+                "choose from checkpoint,torch,saved_model,tflite"
+            )
+        click.echo(f"exported {target} -> {path}")
+
+
 @cli.command("eval-reid")
 @click.option("--data", required=True, type=click.Path(exists=True))
 @click.option("--model", default="osnet_x0_25", show_default=True)

@@ -173,6 +173,13 @@ class ReID:
         n = len(xyxys)
         if n == 0:
             return np.zeros((0, self.feature_dim), np.float32)
+        if n > CROP_BUCKETS[-1]:
+            # chunk oversized crop batches instead of erroring (the
+            # reference autotunes batch size, inference.py:372-388)
+            step = CROP_BUCKETS[-1]
+            return np.concatenate(
+                [self.get_features(xyxys[i : i + step], img) for i in range(0, n, step)]
+            )
         B = _crop_bucket(n)
         boxes = np.zeros((B, cols), np.float32)
         boxes[:, 2:4] = 1.0  # unit padding boxes keep the grid finite
