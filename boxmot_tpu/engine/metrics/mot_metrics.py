@@ -505,3 +505,39 @@ def evaluate_sequences(seq_data: dict[str, SeqEvalData]) -> dict:
         **hota_finalize(combine_hota(hota_cs)),
     }
     return {"per_seq": per_seq, "combined": combined}
+
+
+def evaluate_obb_results(gt_root, results_root, seq_lengths=None, cls_id=None):
+    """Offline OBB evaluation of saved tracker outputs
+    (CustomMotChallengeOBB end-to-end, mot_challenge_obb.py:108-325).
+
+    gt_root: directory of <seq>.txt corner-format ground-truth files (or
+    MOT-style <seq>/gt/gt.txt); results_root: directory of <seq>.txt
+    tracker outputs in the same layout. seq_lengths: optional
+    {seq: n_frames}; defaults to the max frame index seen.
+    """
+    from pathlib import Path
+
+    gt_root = Path(gt_root)
+    results_root = Path(results_root)
+    seq_data = {}
+    gt_files = sorted(gt_root.glob("*.txt"))
+    if not gt_files:
+        gt_files = sorted(gt_root.glob("*/gt/gt.txt"))
+    if not gt_files:
+        raise FileNotFoundError(f"no OBB ground-truth files under {gt_root}")
+    for gt_file in gt_files:
+        seq = gt_file.stem if gt_file.parent == gt_root else gt_file.parent.parent.name
+        res_file = results_root / f"{seq}.txt"
+        gt = np.loadtxt(gt_file, delimiter=",", ndmin=2)
+        trk = (
+            np.loadtxt(res_file, delimiter=",", ndmin=2)
+            if res_file.exists() and res_file.stat().st_size
+            else np.zeros((0, 12))
+        )
+        n = None if seq_lengths is None else seq_lengths.get(seq)
+        if n is None:
+            n = int(max(gt[:, 0].max() if gt.size else 0,
+                        trk[:, 0].max() if trk.size else 0))
+        seq_data[seq] = preprocess_sequence_obb(gt, trk, n, cls_id=cls_id)
+    return evaluate_sequences(seq_data)

@@ -226,3 +226,30 @@ class TestOBBEvaluation:
             "combined"
         ]
         assert c["HOTA"] == pytest.approx(0.0)
+
+
+def test_evaluate_obb_results_offline(tmp_path):
+    from boxmot_tpu.engine.metrics.mot_metrics import (
+        evaluate_obb_results,
+        obb_to_corners,
+    )
+
+    (gt := tmp_path / "gt").mkdir()
+    (res := tmp_path / "res").mkdir()
+    rows_g, rows_t = [], []
+    for f in range(1, 9):
+        boxes = np.array(
+            [[100 + 5 * f, 100, 60, 24, 0.2], [300, 200, 40, 80, -0.4]], np.float32
+        )
+        c = obb_to_corners(boxes)
+        for i, tid in enumerate((1, 2)):
+            rows_g.append([f, tid, *c[i], 1.0, 1])
+            rows_t.append([f, tid + 5, *c[i], 0.9, 1])
+    np.savetxt(gt / "SEQ-01.txt", np.array(rows_g), delimiter=",")
+    np.savetxt(res / "SEQ-01.txt", np.array(rows_t), delimiter=",")
+    r = evaluate_obb_results(gt, res)
+    assert r["combined"]["HOTA"] == pytest.approx(1.0)
+    # a gt sequence with no results file contributes misses, not a crash
+    np.savetxt(gt / "SEQ-02.txt", np.array(rows_g), delimiter=",")
+    r2 = evaluate_obb_results(gt, res)
+    assert r2["combined"]["HOTA"] == pytest.approx(np.sqrt(0.5), abs=1e-3)
