@@ -64,12 +64,15 @@ def bench_tpu():
     out = batch_replay(cfg, states, dets_batch)
     jax.block_until_ready(out)
 
-    t0 = time.perf_counter()
-    n_rep = 3
-    for _ in range(n_rep):
+    # Median of repeated samples: the device tunnel adds run-to-run
+    # contention noise, so a single sample can swing several-fold.
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
         out = batch_replay(cfg, states, dets_batch)
         jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_rep
+        samples.append(time.perf_counter() - t0)
+    dt = sorted(samples)[len(samples) // 2]
     return N_SEQS * N_FRAMES / dt
 
 
@@ -79,11 +82,15 @@ def bench_cpu_baseline():
     frames = synthetic_frames(BASELINE_FRAMES, N_DETS, seed=0)
     orc = ByteTrackOracle()
     orc.update(frames[0])  # warm caches
-    t0 = time.perf_counter()
-    for dets in frames[1:]:
-        orc.update(dets)
-    dt = time.perf_counter() - t0
-    return (BASELINE_FRAMES - 1) / dt
+    samples = []
+    for _ in range(3):
+        orc2 = ByteTrackOracle()
+        t0 = time.perf_counter()
+        for dets in frames:
+            orc2.update(dets)
+        samples.append(time.perf_counter() - t0)
+    dt = sorted(samples)[len(samples) // 2]
+    return BASELINE_FRAMES / dt
 
 
 def main():
