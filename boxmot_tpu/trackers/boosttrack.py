@@ -387,10 +387,21 @@ def boosttrack_step(cfg: BoostTrackConfig, state: BoostTrackState, dets, det_val
     cls_s = jnp.where(matched, dets[:, 5][c], state.cls)
     det_ind_s = jnp.where(matched, dets[:, 6][c], state.det_ind)
 
-    # --- new tracks
+    # --- new tracks.  ID order mirrors the reference's unmatched list:
+    # never-matched detections ascending FIRST, then detections whose
+    # assignment failed the validity gate (boosttrack.py:390-395 creates
+    # trackers in the order assoc.py:132-151 built unmatched_detections).
     new_det = first & ~dm
     n_new = jnp.sum(new_det.astype(jnp.int32))
-    det_rank = jnp.cumsum(new_det.astype(jnp.int32)) - 1
+    inv_det = (
+        jnp.zeros((D,), bool)
+        .at[jnp.where((r2c >= 0) & ~valid_match, r2c, D)]
+        .set(True, mode="drop")
+    )
+    order_key = jnp.arange(D, dtype=jnp.int32) + D * inv_det.astype(jnp.int32)
+    det_rank = jnp.sum(
+        (order_key[None, :] < order_key[:, None]) & new_det[None, :], axis=1
+    )
     det_by_rank = (
         jnp.full((D,), D, jnp.int32)
         .at[jnp.where(new_det, det_rank, D)]
