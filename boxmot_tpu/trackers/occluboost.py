@@ -314,6 +314,7 @@ def occluboost_step(cfg: OccluBoostConfig, state: OccluBoostState, dets, det_val
         r2c1 = _full_assignment(cost_kd, active, first)
         c1 = jnp.clip(r2c1, 0, D - 1)
         m1 = (r2c1 >= 0) & (cost_kd[jnp.arange(K), c1] < 1e5)
+        inv_det1 = jnp.zeros((D,), bool)
     else:
         # --- pass 1: BoostTrack multi-cue association
         iou_dk = _iou(det_box, trk_box)
@@ -333,6 +334,15 @@ def occluboost_step(cfg: OccluBoostConfig, state: OccluBoostState, dets, det_val
             cfg.with_reid & (emb_of >= 0.75) & (iou_of >= cfg.iou_threshold / 2)
         )
         m1 = (r2c1 >= 0) & valid1
+        # dets whose assignment failed the validity gate go to the END of
+        # the reference's unmatched list (assoc.py:132-151) — new-track ID
+        # order must follow (the OBB branch builds unmatched ascending,
+        # occluboost.py:1047-1050, so no flag needed there)
+        inv_det1 = (
+            jnp.zeros((D,), bool)
+            .at[jnp.where((r2c1 >= 0) & ~valid1, r2c1, D)]
+            .set(True, mode="drop")
+        )
 
     unmatched_trk0 = active & ~m1  # reference's fixed unmatched_trks set
     dm = jnp.zeros((D,), bool).at[jnp.where(m1, r2c1, D)].set(True, mode="drop")
@@ -485,7 +495,11 @@ def occluboost_step(cfg: OccluBoostConfig, state: OccluBoostState, dets, det_val
     # --- new tracks (incl. resurrected ids)
     new_det = det_unmatched & (conf >= cfg.new_track_thresh)
     n_fresh = jnp.sum((new_det & ~res_det).astype(jnp.int32))
-    det_rank = jnp.cumsum((new_det & ~res_det).astype(jnp.int32)) - 1
+    fresh = new_det & ~res_det
+    order_key = jnp.arange(D, dtype=jnp.int32) + D * inv_det1.astype(jnp.int32)
+    det_rank = jnp.sum(
+        (order_key[None, :] < order_key[:, None]) & fresh[None, :], axis=1
+    )
     # resurrected dets get their reused id; fresh dets get sequential ids
     det_tid = jnp.where(res_det, res_gid, state.next_id + det_rank)
     n_new = jnp.sum(new_det.astype(jnp.int32))
