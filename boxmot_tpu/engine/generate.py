@@ -39,8 +39,14 @@ def run_generate(
     reid_name: str | None = None,
     preprocess: str = "resize",
     verbose: bool = False,
+    frame_cache: bool = True,
 ) -> dict:
     """Generate det (and optionally emb) caches for every sequence.
+
+    When ``frame_cache`` is on and a ReID model needs the images, the
+    sequence's frames are preloaded into a RAM-budgeted FrameCache
+    (mirrors the reference's cache.py:434 FrameCache usage) so crop
+    extraction is not gated on disk IO.
 
     Returns {seq_name: {"dets": n_rows, "embs": n_rows}}.
     """
@@ -73,10 +79,18 @@ def run_generate(
         stats[seq.name] = {"dets": n_total, "embs": 0}
 
         if reid_model is not None:
+            from boxmot_tpu.data.frame_cache import FrameCache
+
             rname = reid_name or getattr(reid_model, "model_name", "reid")
             epath = emb_cache_path(cache_root, detector, rname, seq.name, preprocess)
             feat = reid_model.feature_dim
             ew = AppendableNpyWriter(epath, 1 + feat)
+            cache = (
+                FrameCache(list(seq.img_paths), fallback=load_frame)
+                if frame_cache
+                else None
+            )
+            read = cache.read_image if cache is not None else load_frame
             done_rows = ew.rows
             acc = 0
             for f, d in enumerate(dets_per_frame):
@@ -87,7 +101,7 @@ def run_generate(
                     continue
                 if f >= len(seq.img_paths):
                     break
-                img = load_frame(seq.img_paths[f])
+                img = read(seq.img_paths[f])
                 feats = reid_model.get_features(d[:, :4], img)
                 start = max(done_rows - acc, 0)
                 rows = np.column_stack(
@@ -97,6 +111,8 @@ def run_generate(
                 acc += len(d)
                 done_rows = ew.rows
             ew.close()
+            if cache is not None:
+                cache.clear()
             stats[seq.name]["embs"] = done_rows
         if verbose:
             print(f"generated {seq.name}: {stats[seq.name]}")
