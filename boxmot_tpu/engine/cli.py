@@ -267,11 +267,15 @@ def tune_kf(data, tracker, kf_type, dets, iou_threshold, per_class, out):
 @click.option("--n-trials", type=int, default=20, show_default=True)
 @click.option("--work-dir", type=click.Path(), default="tune_results")
 @click.option("--seed", type=int, default=0)
-def tune(data, tracker, n_trials, work_dir, seed):
+@click.option("--backend", default="random", show_default=True,
+              type=click.Choice(["random", "grid", "tpe"]),
+              help="search strategy (tpe = optuna-style adaptive sampler)")
+def tune(data, tracker, n_trials, work_dir, seed, backend):
     """Tune tracker hyperparameters over cached replays."""
     from boxmot_tpu.engine.tuning import run_tune
 
-    best = run_tune(data, tracker, n_trials=n_trials, work_dir=work_dir, seed=seed)
+    best = run_tune(data, tracker, n_trials=n_trials, work_dir=work_dir,
+                    seed=seed, backend=backend)
     click.echo(f"best score {best['score']:.4f} with params:")
     for k, v in best["params"].items():
         click.echo(f"  {k}: {v}")

@@ -9,7 +9,9 @@ the same per-tracker YAML specs that provide runtime defaults.
 
 Supported samplers (search_space.py yaml_to_tune_space parity):
 uniform, loguniform, qrandint (quantized int range), choice, grid_search.
-Trial history persists to trials.json so runs are resumable.
+Search strategy is pluggable (``backend="random"|"grid"|"tpe"``, see
+backends.py — the TPE backend plays the role of the reference's optuna
+sampler).  Trial history persists to trials.json so runs are resumable.
 """
 
 from __future__ import annotations
@@ -22,22 +24,7 @@ import numpy as np
 
 from boxmot_tpu.configs import flatten_config, load_tracker_config
 
-
-def sample_param(spec: dict, rng: np.random.Generator):
-    kind = spec.get("type", "choice")
-    if kind == "uniform":
-        lo, hi = spec["range"]
-        return float(rng.uniform(lo, hi))
-    if kind == "loguniform":
-        lo, hi = spec["range"]
-        return float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
-    if kind == "qrandint":
-        lo, hi, q = spec["range"]
-        return int(rng.choice(np.arange(lo, hi, q)))
-    if kind in ("choice", "grid_search"):
-        options = spec.get("options", spec.get("values"))
-        return rng.choice(options).item() if hasattr(rng.choice(options), "item") else rng.choice(options)
-    raise ValueError(f"unknown search space type {kind!r}")
+from .backends import create_backend, sample_param
 
 
 def sample_config(specs: dict, rng: np.random.Generator) -> dict:
@@ -61,6 +48,8 @@ class Tuner:
         work_dir: Path | None = None,
         seed: int = 0,
         eval_kwargs: dict | None = None,
+        backend: str = "random",
+        backend_kwargs: dict | None = None,
     ):
         self.data_root = Path(data_root)
         self.tracker_type = tracker_type
@@ -70,6 +59,9 @@ class Tuner:
         self.work_dir = Path(work_dir) if work_dir else None
         self.rng = np.random.default_rng(seed)
         self.eval_kwargs = dict(eval_kwargs or {})
+        self.backend = create_backend(
+            backend, self.specs, seed=seed, **(backend_kwargs or {})
+        )
         self.trials: list[dict] = []
         if self.work_dir:
             self.work_dir.mkdir(parents=True, exist_ok=True)
@@ -97,36 +89,55 @@ class Tuner:
             "IDF1": float(c["IDF1"]),
         }
 
-    def fit(self, n_trials: int = 20, include_default: bool = True) -> dict:
-        """Run trials (resuming any persisted history); returns the best."""
-        done_params = {json.dumps(t["params"], sort_keys=True) for t in self.trials}
-        wanted = []
-        if include_default and not self.trials:
-            wanted.append(flatten_config(self.specs))
-        while len(wanted) + len(self.trials) < n_trials:
-            wanted.append(sample_config(self.specs, self.rng))
+    def _run_trial(self, params: dict) -> None:
+        t0 = time.perf_counter()
+        try:
+            metrics = self._evaluate(params)
+            score = self.objective(metrics)
+            error = None
+        except Exception as exc:  # failed trial is recorded, not fatal
+            metrics, score, error = {}, float("-inf"), str(exc)
+        self.trials.append(
+            {
+                "params": params,
+                "metrics": metrics,
+                "score": score,
+                "error": error,
+                "seconds": round(time.perf_counter() - t0, 2),
+            }
+        )
+        self._save()
 
-        for params in wanted:
+    def fit(self, n_trials: int = 20, include_default: bool = True) -> dict:
+        """Run trials (resuming any persisted history); returns the best.
+
+        The backend sees the accumulated history on every suggestion, so
+        adaptive strategies (tpe) exploit earlier trials — including ones
+        restored from a previous run.
+        """
+        done = {json.dumps(t["params"], sort_keys=True) for t in self.trials}
+        if include_default and not self.trials:
+            defaults = flatten_config(self.specs)
+            self._run_trial(defaults)
+            done.add(json.dumps(defaults, sort_keys=True))
+
+        stalls = 0
+        while len(self.trials) < n_trials and stalls < 50:
+            params = self.backend.suggest(self.trials)
+            if params is None:  # grid exhausted
+                break
             key = json.dumps(params, sort_keys=True)
-            if key in done_params:
-                continue
-            t0 = time.perf_counter()
-            try:
-                metrics = self._evaluate(params)
-                score = self.objective(metrics)
-                error = None
-            except Exception as exc:  # failed trial is recorded, not fatal
-                metrics, score, error = {}, float("-inf"), str(exc)
-            self.trials.append(
-                {
-                    "params": params,
-                    "metrics": metrics,
-                    "score": score,
-                    "error": error,
-                    "seconds": round(time.perf_counter() - t0, 2),
-                }
-            )
-            self._save()
+            if key in done:
+                # duplicate suggestion from a stochastic backend: skip it
+                # but guarantee progress with a fresh random draw
+                params = sample_config(self.specs, self.rng)
+                key = json.dumps(params, sort_keys=True)
+                if key in done:
+                    stalls += 1  # small discrete space may be exhausted
+                    continue
+            stalls = 0
+            done.add(key)
+            self._run_trial(params)
         return self.best()
 
     def best(self) -> dict:
@@ -144,6 +155,7 @@ def run_tune(
     seed: int = 0,
     base_params: dict | None = None,
     eval_kwargs: dict | None = None,
+    backend: str = "random",
 ) -> dict:
     tuner = Tuner(
         data_root,
@@ -152,6 +164,7 @@ def run_tune(
         work_dir=work_dir,
         seed=seed,
         eval_kwargs=eval_kwargs,
+        backend=backend,
     )
     best = tuner.fit(n_trials=n_trials)
     if work_dir:

@@ -79,3 +79,112 @@ class TestModeDefaults:
 
         with pytest.raises(ValueError, match="unknown mode"):
             get_mode_defaults("deploy")
+
+
+class TestBackends:
+    SPECS = {
+        "x": {"type": "uniform", "range": [0.0, 1.0]},
+        "y": {"type": "loguniform", "range": [0.01, 10.0]},
+        "n": {"type": "qrandint", "range": [2, 10, 2]},
+        "mode": {"type": "choice", "options": ["a", "b", "c"]},
+    }
+
+    @staticmethod
+    def _score(params):
+        # peak at x=0.7, y=1.0, n=6, mode="b"
+        return (
+            -((params["x"] - 0.7) ** 2)
+            - (np.log(params["y"])) ** 2 * 0.1
+            - (params["n"] - 6) ** 2 * 0.01
+            + (0.5 if params["mode"] == "b" else 0.0)
+        )
+
+    def _optimize(self, backend_name, n_trials, seed=0):
+        from boxmot_tpu.engine.tuning.backends import create_backend
+
+        backend = create_backend(backend_name, self.SPECS, seed=seed)
+        history = []
+        for _ in range(n_trials):
+            params = backend.suggest(history)
+            if params is None:
+                break
+            history.append(
+                {"params": params, "score": self._score(params), "error": None}
+            )
+        return history
+
+    def test_random_backend_in_bounds(self):
+        hist = self._optimize("random", 20)
+        for t in hist:
+            p = t["params"]
+            assert 0.0 <= p["x"] <= 1.0
+            assert 0.01 <= p["y"] <= 10.0
+            assert p["n"] in (2, 4, 6, 8) and p["mode"] in ("a", "b", "c")
+
+    def test_grid_backend_enumerates_without_repeats(self):
+        from boxmot_tpu.engine.tuning.backends import GridBackend
+
+        backend = GridBackend(self.SPECS, n_points=2)
+        seen = set()
+        history = []
+        while True:
+            params = backend.suggest(history)
+            if params is None:
+                break
+            key = tuple(sorted(params.items()))
+            assert key not in seen
+            seen.add(key)
+            history.append({"params": params, "score": 0.0, "error": None})
+        # 2 x-points * 2 y-points * 4 n-values * 3 modes
+        assert len(seen) == len(backend) == 2 * 2 * 4 * 3
+
+    def test_tpe_refines_beyond_random(self):
+        # Precision task: locate a point on [0,1] to high accuracy in 40
+        # trials.  Random search expects ~1/(2*40) ≈ 0.0125 error; the
+        # adaptive sampler concentrates candidates around the incumbent
+        # and lands ~15x closer (measured: ~8e-4 mean over seeds).
+        from boxmot_tpu.engine.tuning.backends import create_backend
+
+        specs = {"x": {"type": "uniform", "range": [0.0, 1.0]}}
+        target = 0.737
+        errors = {"tpe": [], "random": []}
+        for seed in range(3):
+            for name in errors:
+                backend = create_backend(name, specs, seed=seed)
+                history = []
+                for _ in range(40):
+                    params = backend.suggest(history)
+                    history.append(
+                        {
+                            "params": params,
+                            "score": -abs(params["x"] - target),
+                            "error": None,
+                        }
+                    )
+                errors[name].append(
+                    min(abs(t["params"]["x"] - target) for t in history)
+                )
+        assert np.mean(errors["tpe"]) < np.mean(errors["random"])
+        assert np.mean(errors["tpe"]) < 5e-3
+
+    def test_tpe_respects_bounds_and_types(self):
+        hist = self._optimize("tpe", 40, seed=1)
+        for t in hist:
+            p = t["params"]
+            assert 0.0 <= p["x"] <= 1.0
+            assert 0.01 <= p["y"] <= 10.0 + 1e-9
+            assert isinstance(p["n"], int) and p["n"] in (2, 4, 6, 8)
+            assert p["mode"] in ("a", "b", "c")
+
+    def test_unknown_backend_rejected(self):
+        from boxmot_tpu.engine.tuning.backends import create_backend
+
+        with pytest.raises(ValueError):
+            create_backend("annealing", self.SPECS)
+
+    def test_tuner_with_tpe_backend(self, tmp_path):
+        best = run_tune(
+            FIXTURE, "bytetrack", n_trials=3, work_dir=tmp_path, seed=0,
+            backend="tpe",
+        )
+        assert best["metrics"]["HOTA"] > 0.3
