@@ -50,7 +50,11 @@ def cli():
 @click.option("--min-det-conf", type=float, default=None)
 @click.option("--postprocessing", default=None, help="chain e.g. gsi or gbrc,gta")
 @click.option("--param", "-p", multiple=True, help="tracker param key=value (json)")
-def eval(data, benchmark, split, tracker, output_dir, cache_root, detector, reid, min_det_conf, postprocessing, param):
+@click.option("--plots-dir", type=click.Path(), default=None,
+              help="write metric radar/bar charts here")
+@click.option("--rich/--no-rich", "use_rich", default=None,
+              help="rich table output (default: auto on TTY)")
+def eval(data, benchmark, split, tracker, output_dir, cache_root, detector, reid, min_det_conf, postprocessing, param, plots_dir, use_rich):
     """Replay cached detections and report HOTA / MOTA / IDF1."""
     from boxmot_tpu.engine.eval import run_eval
 
@@ -78,17 +82,32 @@ def eval(data, benchmark, split, tracker, output_dir, cache_root, detector, reid
         verbose=True,
     )
     c = res["combined"]
-    click.echo("\nper-sequence:")
-    for name, m in res["per_seq"].items():
-        click.echo(
-            f"  {name}: HOTA {100 * m['HOTA']:.2f}  MOTA {100 * m['MOTA']:.2f}  "
-            f"IDF1 {100 * m['IDF1']:.2f}"
-        )
+    from boxmot_tpu.utils.rich_ui import metrics_table, want_rich
+
+    if want_rich(use_rich):
+        from rich.console import Console
+
+        console = Console()
+        metrics_table(res["per_seq"], title=f"{tracker} per-sequence",
+                      console=console)
+        metrics_table({"COMBINED": c}, title="combined", console=console)
+    else:
+        click.echo("\nper-sequence:")
+        for name, m in res["per_seq"].items():
+            click.echo(
+                f"  {name}: HOTA {100 * m['HOTA']:.2f}  MOTA {100 * m['MOTA']:.2f}  "
+                f"IDF1 {100 * m['IDF1']:.2f}"
+            )
     click.echo(
         f"COMBINED: HOTA {100 * c['HOTA']:.2f}  MOTA {100 * c['MOTA']:.2f}  "
         f"IDF1 {100 * c['IDF1']:.2f}  (TP {c['CLR_TP']}  FP {c['CLR_FP']}  "
         f"FN {c['CLR_FN']}  IDSW {c['IDSW']})"
     )
+    if plots_dir:
+        from boxmot_tpu.engine.plots import plot_eval_summary
+
+        paths = plot_eval_summary({tracker: c, **res["per_seq"]}, plots_dir)
+        click.echo("plots: " + ", ".join(str(p) for p in paths))
 
 
 @cli.command()

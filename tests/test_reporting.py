@@ -1,0 +1,118 @@
+"""Tests for metric plots and the rich workflow UI."""
+
+import numpy as np
+import pytest
+
+from boxmot_tpu.engine.plots import (
+    CATEGORICAL,
+    plot_eval_summary,
+    plot_fps_metric,
+    plot_metric_bars,
+    plot_metric_radar,
+)
+from boxmot_tpu.utils.rich_ui import (
+    PipelineTracker,
+    WorkflowProgress,
+    metrics_table,
+    render_pipeline,
+    rich_available,
+)
+
+RESULTS = {
+    f"tracker{i}": {
+        "HOTA": 0.60 + 0.02 * i,
+        "MOTA": 0.70 + 0.01 * i,
+        "IDF1": 0.75 - 0.01 * i,
+        "DetA": 0.65,
+        "AssA_mean": 0.62,
+        "fps": 100.0 * (i + 1),
+    }
+    for i in range(10)
+}
+
+
+class TestPlots:
+    def test_palette_is_fixed_order(self):
+        assert len(CATEGORICAL) == 8
+        assert len(set(CATEGORICAL)) == 8
+
+    def test_radar_written_and_caps_series(self, tmp_path):
+        out = plot_metric_radar(RESULTS, tmp_path / "radar.png")
+        assert out.exists() and out.stat().st_size > 1000
+
+    def test_bars_written(self, tmp_path):
+        out = plot_metric_bars(RESULTS, tmp_path / "bars.png")
+        assert out.exists() and out.stat().st_size > 1000
+
+    def test_fps_scatter_written(self, tmp_path):
+        out = plot_fps_metric(RESULTS, tmp_path / "fps.png")
+        assert out.exists() and out.stat().st_size > 1000
+
+    def test_summary_writes_both(self, tmp_path):
+        paths = plot_eval_summary(RESULTS, tmp_path)
+        assert len(paths) == 2 and all(p.exists() for p in paths)
+
+    def test_percent_passthrough(self, tmp_path):
+        # values already in percent must not be rescaled
+        res = {"t": {"HOTA": 67.7, "MOTA": 78.0, "IDF1": 79.2,
+                     "DetA": 65.0, "AssA_mean": 60.0}}
+        out = plot_metric_bars(res, tmp_path / "pct.png")
+        assert out.exists()
+
+
+class TestPipelineTracker:
+    def test_state_machine(self):
+        p = PipelineTracker(["generate", "replay", "metrics"])
+        assert all(s.state == "pending" for s in p.steps)
+        p.start("generate", "2 seqs")
+        assert p.current.name == "generate"
+        p.finish("generate")
+        p.start("replay")
+        p.finish("replay", "failed", detail="boom")
+        rows = p.summary_rows()
+        assert [r["state"] for r in rows] == ["done", "failed", "pending"]
+        assert rows[1]["detail"] == "boom"
+        assert rows[0]["seconds"] >= 0.0
+
+    def test_invalid_terminal_state(self):
+        p = PipelineTracker(["a"])
+        with pytest.raises(ValueError):
+            p.finish("a", "exploded")
+
+    def test_render_headless(self):
+        p = PipelineTracker(["a", "b"])
+        p.start("a")
+        table = render_pipeline(p)
+        if rich_available():
+            assert table is not None
+
+
+@pytest.mark.skipif(not rich_available(), reason="rich not installed")
+class TestRichRendering:
+    def test_metrics_table_renders(self):
+        from rich.console import Console
+
+        console = Console(record=True, width=100)
+        metrics_table(RESULTS, console=console, title="test")
+        text = console.export_text()
+        assert "tracker0" in text and "HOTA" in text
+        # fraction metrics render as percentages
+        assert "60.00" in text
+
+    def test_workflow_progress_forced(self):
+        with WorkflowProgress(["gen", "track"], force_rich=True) as wp:
+            wp.start_step("gen")
+            wp.advance("MOT17-02", 5, 10)
+            wp.advance("MOT17-02", 10, 10)
+            wp.finish_step("gen")
+            wp.start_step("track")
+            wp.finish_step("track", "skipped")
+        states = [s.state for s in wp.pipeline.steps]
+        assert states == ["done", "skipped"]
+
+    def test_workflow_progress_headless(self):
+        with WorkflowProgress(["gen"], force_rich=False) as wp:
+            wp.start_step("gen")
+            wp.advance("seq", 1, 2)
+            wp.finish_step("gen")
+        assert wp.pipeline["gen"].state == "done"
