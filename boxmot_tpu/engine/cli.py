@@ -415,5 +415,46 @@ def eval_reid(data, model, dataset, weights, rerank):
     )
 
 
+@cli.command()
+@click.option("--force", is_flag=True, help="rebuild even if the library exists")
+def build(force):
+    """Build the native C++ host runtime and report the environment.
+
+    Role mirror of the reference's `boxmot build` (engine/cli.py:1128,
+    which compiles the native tracker libs).  Here the tracker math is
+    the jitted XLA program, so the native layer is the host runtime:
+    cache IO, frame packing, MOT writing, JV assignment.
+    """
+    from pathlib import Path
+
+    from boxmot_tpu.native import get_library
+
+    if force:
+        import shutil
+
+        build_dir = Path(__file__).resolve().parents[3] / "native" / "cpp" / "build"
+        lib = build_dir / "libboxmot_native.so"
+        if lib.exists():
+            lib.unlink()
+        shutil.rmtree(build_dir / "CMakeCache.txt", ignore_errors=True)
+    lib = get_library()
+    if lib is None:
+        click.echo("native library unavailable (toolchain missing?); "
+                   "numpy fallbacks remain active")
+    else:
+        click.echo("native library ready")
+
+    import jax
+
+    devices = jax.devices()
+    click.echo(f"jax backend: {devices[0].platform} x{len(devices)}")
+    for extra in ("rich", "matplotlib"):
+        try:
+            __import__(extra)
+            click.echo(f"{extra}: available")
+        except ImportError:
+            click.echo(f"{extra}: missing (degraded output only)")
+
+
 if __name__ == "__main__":
     cli()

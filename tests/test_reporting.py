@@ -116,3 +116,14 @@ class TestRichRendering:
             wp.advance("seq", 1, 2)
             wp.finish_step("gen")
         assert wp.pipeline["gen"].state == "done"
+
+
+class TestBuildCommand:
+    def test_build_reports_environment(self):
+        from click.testing import CliRunner
+
+        from boxmot_tpu.engine.cli import cli
+
+        result = CliRunner().invoke(cli, ["build"])
+        assert result.exit_code == 0, result.output
+        assert "jax backend:" in result.output
