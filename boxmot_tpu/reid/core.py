@@ -125,7 +125,19 @@ class ReID:
         self.preprocess_name = preprocess_name
         self.feature_dim = self.model.feature_dim
 
-        if weights is not None and Path(str(weights)).exists():
+        if (
+            weights is not None
+            and str(weights).endswith(".msgpack")
+            and Path(str(weights)).exists()
+        ):
+            # native flax checkpoint (reid/exporters.py export_checkpoint)
+            from boxmot_tpu.reid.exporters import load_checkpoint
+
+            rng = jax.random.PRNGKey(0)
+            dummy = jnp.zeros((1, *crop_hw, 3), jnp.float32)
+            template = self.model.init(rng, dummy)
+            self.variables = load_checkpoint(template, str(weights))
+        elif weights is not None and Path(str(weights)).exists():
             self.variables = convert_mod.convert_checkpoint(
                 str(weights), self.model_name
             )

@@ -72,9 +72,9 @@ def create_tracker(
     params.update(kwargs)
     params["per_class"] = per_class
     if reid_weights is not None and tracker_type in REID_TRACKERS:
-        from boxmot_tpu.reid import ReID
+        from boxmot_tpu.reid.backends import create_reid
 
-        params.setdefault("reid_model", ReID(weights=reid_weights, half=half))
+        params.setdefault("reid_model", create_reid(weights=reid_weights, half=half))
     return cls(**params)
 
 

@@ -74,3 +74,62 @@ def test_tflite_dynamic_quant(model_and_vars, tmp_path):
 def test_onnx_gated():
     with pytest.raises(ImportError):
         E.export_onnx()
+
+
+class TestRuntimeBackends:
+    """Suffix-dispatched runtime backends produce interchangeable
+    embeddings (reference reid/backends/ role)."""
+
+    IMG = np.random.default_rng(3).integers(0, 255, (96, 128, 3)).astype(np.uint8)
+    BOXES = np.array([[4.0, 6.0, 40.0, 80.0], [50.0, 10.0, 120.0, 90.0]], np.float32)
+
+    @pytest.fixture(scope="class")
+    def jax_reid(self):
+        from boxmot_tpu.reid.core import ReID
+
+        return ReID(model_name="osnet_x0_25", crop_hw=HW)
+
+    def test_dispatch_model_name(self):
+        from boxmot_tpu.reid.backends import create_reid
+        from boxmot_tpu.reid.core import ReID
+
+        assert isinstance(create_reid(model_name="osnet_x0_25", crop_hw=HW), ReID)
+
+    def test_msgpack_dispatch_and_parity(self, jax_reid, tmp_path):
+        from boxmot_tpu.reid.backends import create_reid
+
+        path = E.export_checkpoint(jax_reid.variables, tmp_path / "osnet_x0_25.msgpack")
+        reid2 = create_reid(weights=path, crop_hw=HW)
+        ref = jax_reid.get_features(self.BOXES, self.IMG)
+        got = reid2.get_features(self.BOXES, self.IMG)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_tflite_backend_parity(self, jax_reid, tmp_path):
+        from boxmot_tpu.reid.backends import TFLiteReID, create_reid
+
+        path = E.export_tflite(
+            jax_reid.model, jax_reid.variables, tmp_path / "osnet_x0_25.tflite", hw=HW
+        )
+        backend = create_reid(weights=path, crop_hw=HW)
+        assert isinstance(backend, TFLiteReID)
+        assert backend.feature_dim == jax_reid.feature_dim
+        ref = jax_reid.get_features(self.BOXES, self.IMG)
+        got = backend.get_features(self.BOXES, self.IMG)
+        assert got.shape == ref.shape
+        # same crops, same weights, different runtime: embeddings agree
+        np.testing.assert_allclose(got, ref, atol=2e-2)
+        # L2 normalized
+        np.testing.assert_allclose(np.linalg.norm(got, axis=1), 1.0, atol=1e-4)
+        assert backend.get_features(np.zeros((0, 4)), self.IMG).shape == (0, backend.feature_dim)
+
+    def test_saved_model_backend_parity(self, jax_reid, tmp_path):
+        from boxmot_tpu.reid.backends import SavedModelReID, create_reid
+
+        path = E.export_saved_model(
+            jax_reid.model, jax_reid.variables, tmp_path / "osnet_sm", hw=HW
+        )
+        backend = create_reid(weights=path, crop_hw=HW)
+        assert isinstance(backend, SavedModelReID)
+        ref = jax_reid.get_features(self.BOXES, self.IMG)
+        got = backend.get_features(self.BOXES, self.IMG)
+        np.testing.assert_allclose(got, ref, atol=2e-2)
