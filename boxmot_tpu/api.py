@@ -41,9 +41,10 @@ def _build_reid(spec):
     if spec in (None, "", "none"):
         return None
     from boxmot_tpu.reid import ReID
+    from boxmot_tpu.reid.backends import create_reid
 
     if Path(str(spec)).exists():
-        return ReID(weights=spec)
+        return create_reid(weights=spec)  # suffix-dispatched runtime
     return ReID(model_name=str(spec))
 
 
@@ -150,8 +151,10 @@ class Boxmot:
             min_det_conf=min_det_conf,
         )
 
-    def tune(self, *, data, n_trials: int = 20, work_dir=None, seed: int = 0):
-        """Random-search hyperparameter tuning (client.py:271-315)."""
+    def tune(self, *, data, n_trials: int = 20, work_dir=None, seed: int = 0,
+             backend: str = "random"):
+        """Hyperparameter tuning (client.py:271-315); backend is one of
+        random / grid / tpe (engine/tuning/backends.py)."""
         from boxmot_tpu.engine.tuning.tuner import Tuner
 
         tuner = Tuner(
@@ -160,8 +163,9 @@ class Boxmot:
             base_params=_tracker_config(self.tracker),
             work_dir=work_dir,
             seed=seed,
+            backend=backend,
         )
-        return tuner.run(n_trials=n_trials)
+        return tuner.fit(n_trials=n_trials)
 
     def research(self, *, data, n_candidates: int = 10, work_dir=None, seed: int = 0):
         """Propose/evaluate research loop (client.py:316-360)."""
@@ -174,6 +178,63 @@ class Boxmot:
             work_dir=work_dir,
             seed=seed,
         )
+
+    def export(self, *, include=("tflite",), out_dir="exports",
+               hw=(256, 128), quantize=None, verify: bool = True):
+        """Export the configured ReID model (client.py .export role).
+
+        The reid spec supplies either a weights path (converted) or a
+        model name; returns {target: {"path", "max_dev"?}}.
+        """
+        from boxmot_tpu.reid.exporters import run_export
+
+        spec = str(self.reid) if self.reid not in (None, "", "none") else None
+        weights = spec if spec and Path(spec).exists() else None
+        return run_export(
+            weights=weights,
+            model_name=spec or "osnet_x0_25",
+            include=include,
+            out_dir=out_dir,
+            hw=hw,
+            quantize=quantize,
+            verify=verify,
+        )
+
+    def train(self, *, data, dataset: str = "market1501", steps: int = 1000,
+              ckpt_dir="reid_ckpts", resume=None, **cfg_kwargs):
+        """Train the configured ReID backbone (client.py .train role)."""
+        from boxmot_tpu.reid.training.trainer import ReIDTrainer, TrainConfig
+
+        model = str(self.reid) if self.reid not in (None, "", "none") else "osnet_x0_25"
+        cfg = TrainConfig(
+            model=model, dataset=dataset, data_root=str(data), steps=steps,
+            ckpt_dir=str(ckpt_dir), **cfg_kwargs,
+        )
+        trainer = ReIDTrainer(cfg)
+        if resume:
+            trainer.load_checkpoint(resume)
+        return trainer.fit()
+
+    def eval_reid(self, *, data, dataset: str = "market1501", rerank: bool = False):
+        """CMC / mAP ranking evaluation (client.py .eval_reid role)."""
+        import jax
+        import jax.numpy as jnp
+
+        from boxmot_tpu.reid.core import MODEL_FACTORY, infer_model_name
+        from boxmot_tpu.reid.datasets import load_dataset
+        from boxmot_tpu.reid.training.evaluator import evaluate_reid
+
+        spec = str(self.reid) if self.reid not in (None, "", "none") else "osnet_x0_25"
+        if Path(spec).exists():
+            from boxmot_tpu.models.convert import convert_checkpoint
+
+            name = infer_model_name(spec)
+            model = MODEL_FACTORY[name]()
+            variables = convert_checkpoint(spec, name)
+        else:
+            model = MODEL_FACTORY[spec]()
+            variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 128, 3)))
+        return evaluate_reid(model, variables, load_dataset(dataset, data), rerank=rerank)
 
 
 def track(source, tracker="bytetrack", reid=None, **kwargs):

@@ -138,3 +138,51 @@ def verify_export(model, variables, path: Path, hw=(256, 128), atol=1e-3) -> flo
     if dev > atol:
         raise AssertionError(f"export parity failure: max deviation {dev} > {atol}")
     return dev
+
+
+def run_export(
+    weights=None,
+    model_name: str = "osnet_x0_25",
+    include=("tflite",),
+    out_dir="exports",
+    hw=(256, 128),
+    quantize: str | None = None,
+    verify: bool = True,
+) -> dict:
+    """Orchestrated multi-target export (reference engine/reid/export.py:
+    260-270 run_export + parity verification).  Returns
+    {target: {"path": ..., "max_dev": ...}}."""
+    from boxmot_tpu.reid.core import ReID
+
+    reid = ReID(weights=weights, model_name=None if weights else model_name,
+                crop_hw=hw)
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    stem = reid.model_name
+    results = {}
+    for target in include:
+        info = {}
+        if target == "checkpoint":
+            info["path"] = export_checkpoint(reid.variables, out / f"{stem}.msgpack")
+        elif target == "torch":
+            info["path"] = export_torch_state_dict(reid.variables, out / f"{stem}.pt")
+        elif target == "saved_model":
+            info["path"] = export_saved_model(
+                reid.model, reid.variables, out / f"{stem}_saved", hw=hw
+            )
+        elif target == "tflite":
+            info["path"] = export_tflite(
+                reid.model, reid.variables, out / f"{stem}.tflite", hw=hw,
+                quantize=quantize,
+            )
+            if verify:
+                info["max_dev"] = verify_export(
+                    reid.model, reid.variables, info["path"], hw=hw, atol=5e-3
+                )
+        else:
+            raise ValueError(
+                f"unknown export target {target!r}; choose from "
+                "checkpoint,torch,saved_model,tflite"
+            )
+        results[target] = info
+    return results

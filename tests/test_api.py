@@ -40,3 +40,40 @@ def test_unknown_tracker_raises():
     bm = boxmot_tpu.Boxmot(tracker="sorttrack9000")
     with pytest.raises((KeyError, ValueError)):
         bm.track(source=SEQ)
+
+
+class TestFacadeParity:
+    """The reference Boxmot client exposes 8 workflow verbs
+    (api/client.py:70-551); assert full surface parity."""
+
+    def test_all_eight_verbs_exist(self):
+        from boxmot_tpu.api import Boxmot
+
+        for verb in ("track", "generate", "val", "tune", "research",
+                     "export", "train", "eval_reid"):
+            assert callable(getattr(Boxmot(), verb)), verb
+
+    def test_tune_verb_runs(self, tmp_path):
+        from boxmot_tpu.api import Boxmot
+
+        best = Boxmot(tracker="bytetrack").tune(
+            data=FIXTURE, n_trials=2, work_dir=tmp_path, backend="random"
+        )
+        assert best["metrics"]["HOTA"] > 0.3
+
+    def test_export_verb_checkpoint(self, tmp_path):
+        from boxmot_tpu.api import Boxmot
+
+        out = Boxmot(reid="osnet_x0_25").export(
+            include=("checkpoint",), out_dir=tmp_path, hw=(64, 32)
+        )
+        assert out["checkpoint"]["path"].exists()
+
+    def test_eval_reid_verb(self):
+        from pathlib import Path as _P
+
+        from boxmot_tpu.api import Boxmot
+
+        reid_fixture = _P(__file__).parent.parent / "assets" / "reid-mini" / "Market-1501-v15.09.15"
+        res = Boxmot(reid="osnet_x0_25").eval_reid(data=reid_fixture.parent)
+        assert 0.0 <= res["mAP"] <= 1.0
