@@ -67,7 +67,7 @@ def bench_tpu():
     # Median of repeated samples: the device tunnel adds run-to-run
     # contention noise, so a single sample can swing several-fold.
     samples = []
-    for _ in range(5):
+    for _ in range(11):
         t0 = time.perf_counter()
         out = batch_replay(cfg, states, dets_batch)
         jax.block_until_ready(out)
