@@ -126,19 +126,27 @@ def generate(data, cache_root, detector, reid_weights, preprocess):
         from boxmot_tpu.reid import ReID
 
         if Path(reid_weights).exists():
-            reid_model = ReID(weights=reid_weights, preprocess_name=preprocess)
+            from boxmot_tpu.reid.backends import create_reid
+
+            reid_model = create_reid(weights=reid_weights, preprocess_name=preprocess)
         else:
             reid_model = ReID(model_name=reid_weights, preprocess_name=preprocess)
         reid_name = reid_model.model_name
-    stats = run_generate(
-        data,
-        cache_root,
-        detector=detector,
-        reid_model=reid_model,
-        reid_name=reid_name,
-        preprocess=preprocess,
-        verbose=True,
-    )
+    from boxmot_tpu.utils.rich_ui import WorkflowProgress
+
+    with WorkflowProgress(["generate"], title="boxmot-tpu generate") as wp:
+        wp.start_step("generate", detail=str(data))
+        stats = run_generate(
+            data,
+            cache_root,
+            detector=detector,
+            reid_model=reid_model,
+            reid_name=reid_name,
+            preprocess=preprocess,
+            verbose=True,
+            progress=wp.advance,
+        )
+        wp.finish_step("generate")
     total = sum(s["dets"] for s in stats.values())
     click.echo(f"cached {total} detections across {len(stats)} sequences")
 

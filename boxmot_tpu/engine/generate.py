@@ -40,16 +40,22 @@ def run_generate(
     preprocess: str = "resize",
     verbose: bool = False,
     frame_cache: bool = True,
+    progress=None,
 ) -> dict:
     """Generate det (and optionally emb) caches for every sequence.
 
     When ``frame_cache`` is on and a ReID model needs the images, the
     sequence's frames are preloaded into a RAM-budgeted FrameCache
     (mirrors the reference's cache.py:434 FrameCache usage) so crop
-    extraction is not gated on disk IO.
+    extraction is not gated on disk IO.  ``progress`` is an optional
+    (seq_name, current_frame, total_frames) callback; it is wrapped so a
+    raising callback can never abort the run.
 
     Returns {seq_name: {"dets": n_rows, "embs": n_rows}}.
     """
+    from boxmot_tpu.utils.callbacks import safe_seq_progress_callback
+
+    progress = safe_seq_progress_callback(progress)
     dataset = MOTDataset(data_root)
     if len(dataset) == 0:
         raise ValueError(f"no MOT sequences under {data_root}")
@@ -103,6 +109,8 @@ def run_generate(
                     break
                 img = read(seq.img_paths[f])
                 feats = reid_model.get_features(d[:, :4], img)
+                if progress is not None:
+                    progress(seq.name, f + 1, len(dets_per_frame))
                 start = max(done_rows - acc, 0)
                 rows = np.column_stack(
                     [np.full(len(d) - start, f + 1, np.float32), feats[start:]]

@@ -46,3 +46,38 @@ def sharded_batch_replay(cfg, dets_batch: np.ndarray, mesh: Mesh | None = None):
     states = shard_over_sequences(mesh, states)
     dets_batch = shard_over_sequences(mesh, jax.numpy.asarray(dets_batch))
     return batch_replay(cfg, states, dets_batch)
+
+
+def sharded_reid_features(reid, crops_batch: np.ndarray, mesh: Mesh | None = None):
+    """Data-parallel ReID forward: (N, H, W, 3) standardized crops with N
+    sharded over the mesh; parameters replicated (SURVEY 2.9: ReID crop
+    batches are standard data-parallel inference on the MXU).
+
+    Pads N up to a multiple of the device count, so any crop batch works.
+    Returns (N, F) L2-normalized float32 embeddings on the host.
+    """
+    import jax.numpy as jnp
+
+    mesh = mesh or sequence_mesh()
+    n_dev = len(mesh.devices.flat)
+    n = crops_batch.shape[0]
+    if n == 0:
+        return np.zeros((0, reid.feature_dim), np.float32)
+    pad = (-n) % n_dev
+    if pad:
+        crops_batch = np.concatenate(
+            [crops_batch, np.zeros((pad, *crops_batch.shape[1:]), crops_batch.dtype)]
+        )
+    data = jax.device_put(
+        jnp.asarray(crops_batch), NamedSharding(mesh, P("seq"))
+    )
+    params = jax.device_put(reid.variables, NamedSharding(mesh, P()))
+
+    @jax.jit
+    def fwd(variables, x):
+        feats = reid.model.apply(variables, x).astype(jnp.float32)
+        norm = jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        return feats / jnp.maximum(norm, 1e-12)
+
+    out = np.asarray(fwd(params, data))
+    return out[:n]

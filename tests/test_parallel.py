@@ -58,3 +58,28 @@ def test_batch_replay_matches_single():
             np.asarray(outs_b)[s], np.asarray(outs_1), atol=1e-4
         )
         np.testing.assert_array_equal(np.asarray(masks_b)[s], np.asarray(masks_1))
+
+
+def test_sharded_reid_features_matches_local():
+    from boxmot_tpu.parallel.replay import sequence_mesh, sharded_reid_features
+    from boxmot_tpu.reid.core import ReID
+
+    reid = ReID(model_name="osnet_x0_25", crop_hw=(64, 32))
+    rng = np.random.default_rng(0)
+    crops = rng.uniform(-2, 2, (5, 64, 32, 3)).astype(np.float32)  # 5 % 8 != 0
+
+    mesh = sequence_mesh()
+    got = sharded_reid_features(reid, crops, mesh)
+    assert got.shape == (5, reid.feature_dim)
+    np.testing.assert_allclose(np.linalg.norm(got, axis=1), 1.0, atol=1e-5)
+
+    # local single-device forward as the oracle
+    import jax.numpy as jnp
+
+    ref = np.asarray(reid.model.apply(reid.variables, jnp.asarray(crops)))
+    ref = ref / np.maximum(np.linalg.norm(ref, axis=1, keepdims=True), 1e-12)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    # empty batch contract
+    empty = sharded_reid_features(reid, np.zeros((0, 64, 32, 3), np.float32), mesh)
+    assert empty.shape == (0, reid.feature_dim)
