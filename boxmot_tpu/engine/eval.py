@@ -135,4 +135,6 @@ def run_eval(
             f"HOTA {100 * c['HOTA']:.2f}  MOTA {100 * c['MOTA']:.2f}  "
             f"IDF1 {100 * c['IDF1']:.2f}"
         )
-    return results
+    from boxmot_tpu.engine.results import ValidationResult
+
+    return ValidationResult(results)

@@ -124,4 +124,6 @@ def run_generate(
             stats[seq.name]["embs"] = done_rows
         if verbose:
             print(f"generated {seq.name}: {stats[seq.name]}")
-    return stats
+    from boxmot_tpu.engine.results import GenerateResult
+
+    return GenerateResult(stats)

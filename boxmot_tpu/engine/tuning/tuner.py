@@ -141,10 +141,12 @@ class Tuner:
         return self.best()
 
     def best(self) -> dict:
+        from boxmot_tpu.engine.results import TuneResult
+
         ok = [t for t in self.trials if t.get("error") is None]
         if not ok:
             raise RuntimeError("no successful trials")
-        return max(ok, key=lambda t: t["score"])
+        return TuneResult(max(ok, key=lambda t: t["score"]))
 
 
 def run_tune(

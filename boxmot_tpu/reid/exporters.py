@@ -185,4 +185,6 @@ def run_export(
                 "checkpoint,torch,saved_model,tflite"
             )
         results[target] = info
-    return results
+    from boxmot_tpu.engine.results import ExportResult
+
+    return ExportResult(results)

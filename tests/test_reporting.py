@@ -127,3 +127,38 @@ class TestBuildCommand:
         result = CliRunner().invoke(cli, ["build"])
         assert result.exit_code == 0, result.output
         assert "jax backend:" in result.output
+
+
+class TestWorkflowResults:
+    """Typed result wrappers (reference workflows/results.py role)."""
+
+    def test_validation_result_dual_access(self):
+        from boxmot_tpu.engine.results import ValidationResult
+
+        r = ValidationResult(
+            {"combined": {"HOTA": 0.65, "MOTA": 0.50, "IDF1": 0.67},
+             "per_seq": {}}
+        )
+        assert r.hota == r["combined"]["HOTA"]
+        assert "HOTA 65.00" in r.summary()
+
+    def test_generate_result_totals(self):
+        from boxmot_tpu.engine.results import GenerateResult
+
+        g = GenerateResult({"a": {"dets": 3, "embs": 2}, "b": {"dets": 4, "embs": 0}})
+        assert g.total_dets == 7 and g.total_embs == 2
+        assert "7 detections" in g.summary()
+
+    def test_tune_and_export_results(self):
+        from boxmot_tpu.engine.results import ExportResult, TuneResult
+
+        t = TuneResult({"score": 1.5, "params": {"x": 1}, "metrics": {"HOTA": 0.6}})
+        assert "HOTA 60.00" in t.summary() and t.score == 1.5
+        e = ExportResult({"tflite": {"path": "m.tflite"}})
+        assert "tflite->m.tflite" in e.summary()
+
+    def test_missing_attr_raises(self):
+        from boxmot_tpu.engine.results import WorkflowResult
+
+        with pytest.raises(AttributeError):
+            WorkflowResult({}).nope
