@@ -54,7 +54,9 @@ def cli():
               help="write metric radar/bar charts here")
 @click.option("--rich/--no-rich", "use_rich", default=None,
               help="rich table output (default: auto on TTY)")
-def eval(data, benchmark, split, tracker, output_dir, cache_root, detector, reid, min_det_conf, postprocessing, param, plots_dir, use_rich):
+@click.option("--kf-noise", type=click.Path(exists=True), default=None,
+              help="tune-kf JSON; injects calibrated KF std weights")
+def eval(data, benchmark, split, tracker, output_dir, cache_root, detector, reid, min_det_conf, postprocessing, param, plots_dir, use_rich, kf_noise):
     """Replay cached detections and report HOTA / MOTA / IDF1."""
     from boxmot_tpu.engine.eval import run_eval
 
@@ -80,6 +82,7 @@ def eval(data, benchmark, split, tracker, output_dir, cache_root, detector, reid
         min_det_conf=min_det_conf,
         postprocessing=postprocessing,
         verbose=True,
+        kf_noise=kf_noise,
     )
     c = res["combined"]
     from boxmot_tpu.utils.rich_ui import metrics_table, want_rich

@@ -55,6 +55,20 @@ def build_replay_config(tracker_type: str, **params):
     return cfg_cls(**{k: v for k, v in params.items() if k in fields})
 
 
+def load_kf_noise_params(kf_noise) -> dict:
+    """Extract the tracker-config overrides from a tune-kf result
+    (motion/calibration.py estimate_kf_noise JSON or dict)."""
+    import json
+
+    if not isinstance(kf_noise, dict):
+        kf_noise = json.loads(Path(kf_noise).read_text())
+    out = {}
+    for key in ("std_weight_position", "std_weight_velocity"):
+        if key in kf_noise:
+            out[key] = float(kf_noise[key])
+    return out
+
+
 def run_eval(
     data_root: Path,
     tracker_type: str = "bytetrack",
@@ -67,12 +81,16 @@ def run_eval(
     preprocess: str = "resize",
     postprocessing: str | None = None,
     verbose: bool = False,
+    kf_noise=None,
 ) -> dict:
     """Evaluate a tracker over all sequences under data_root.
 
     Detections come from each sequence's public det.txt, or — when
     cache_root is given — from generated det/emb caches (the reference's
-    replay-from-cache path, engine/eval/replay.py:216-369). Returns
+    replay-from-cache path, engine/eval/replay.py:216-369).  ``kf_noise``
+    is a tune-kf JSON path or dict whose calibrated std weights are
+    injected into the tracker config (the reference's
+    _apply_kf_tuning_to_runtime, engine/eval/replay.py:142). Returns
     {"per_seq": {...}, "combined": {...}} metric dicts including HOTA,
     MOTA, IDF1.
     """
@@ -86,7 +104,10 @@ def run_eval(
     dataset = MOTDataset(data_root)
     if len(dataset) == 0:
         raise ValueError(f"no MOT sequences found under {data_root}")
-    cfg = build_replay_config(tracker_type, **(tracker_params or {}))
+    tracker_params = dict(tracker_params or {})
+    if kf_noise is not None:
+        tracker_params = {**load_kf_noise_params(kf_noise), **tracker_params}
+    cfg = build_replay_config(tracker_type, **tracker_params)
     seq_data = {}
     for seq in dataset:
         embs = None

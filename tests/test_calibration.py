@@ -109,3 +109,45 @@ def test_std_weights_thread_into_tracker():
     o1 = default.update(d, IMG)
     o2 = tuned.update(d, IMG)
     assert o1.shape == o2.shape == (1, 8)
+
+
+class TestKfNoiseInjection:
+    """tune-kf output feeds eval (reference _apply_kf_tuning_to_runtime,
+    engine/eval/replay.py:142)."""
+
+    def test_load_kf_noise_params(self, tmp_path):
+        import json
+
+        from boxmot_tpu.engine.eval import load_kf_noise_params
+
+        blob = {"std_weight_position": 0.0023, "std_weight_velocity": 0.001,
+                "Q": [[1.0]], "kf_type": "xyah"}
+        p = tmp_path / "kf.json"
+        p.write_text(json.dumps(blob))
+        out = load_kf_noise_params(p)
+        assert out == {"std_weight_position": 0.0023,
+                       "std_weight_velocity": 0.001}
+        # dict passthrough + missing keys tolerated
+        assert load_kf_noise_params({"kf_type": "xyah"}) == {}
+
+    def test_eval_applies_kf_noise(self):
+        from pathlib import Path
+
+        from boxmot_tpu.engine.eval import run_eval
+
+        fixture = Path(__file__).parent.parent / "assets" / "MOT17-mini" / "train"
+        noise = {"std_weight_position": 0.0023, "std_weight_velocity": 0.0023}
+        res = run_eval(fixture, "bytetrack", kf_noise=noise)
+        base = run_eval(fixture, "bytetrack")
+        assert res["combined"]["HOTA"] > 0.3
+        # calibration changes the association outcome vs defaults on this
+        # fixture (sanity that injection took effect at all)
+        assert res["combined"] != base["combined"]
+        # explicit tracker_params beat the calibration file
+        res2 = run_eval(
+            fixture, "bytetrack",
+            kf_noise={"std_weight_position": 0.0023,
+                      "std_weight_velocity": 1.0 / 160},
+            tracker_params={"std_weight_position": 1.0 / 20},
+        )
+        assert res2["combined"]["HOTA"] == base["combined"]["HOTA"]
