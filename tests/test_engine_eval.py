@@ -114,3 +114,24 @@ def test_run_eval_gt_as_dets_near_perfect(tmp_path):
     assert c["HOTA"] > 0.85, c
     assert c["MOTA"] > 0.9, c
     assert c["IDF1"] > 0.9, c
+
+
+def test_all_eight_benchmark_configs_resolve():
+    """Full parity with the reference's 7+1 benchmark YAMLs."""
+    from boxmot_tpu.configs.benchmark import (
+        available_benchmarks,
+        load_benchmark,
+        resolve_split_dir,
+    )
+
+    names = available_benchmarks()
+    for expected in ("dancetrack", "mmot", "mmot-mini", "mot17",
+                     "mot17-mini", "mot20", "sportsmot", "visdrone"):
+        assert expected in names
+    for name in names:
+        cfg = load_benchmark(name)
+        assert cfg["id"] == name
+        assert cfg["dataset"]["box_type"] in ("aabb", "obb")
+        assert cfg["dataset"]["default_split"] in cfg["dataset"]["splits"]
+        resolve_split_dir(cfg)  # path math never raises
+        assert all(isinstance(k, int) for k in cfg["dataset"]["classes"])
