@@ -46,6 +46,30 @@ def get_tracker_defaults(name: str) -> dict:
         return {}
 
 
+def available_tuned_configs() -> tuple[str, ...]:
+    tuned_dir = Path(__file__).resolve().parent / "trackers" / "tuned"
+    return tuple(sorted(p.stem for p in tuned_dir.glob("*.yaml")))
+
+
+def load_tuned_config(name: str) -> dict:
+    """Benchmark-tuned runtime params (reference configs/trackers/tuned/).
+
+    ``name`` is "<tracker>_<benchmark>_<split>", e.g.
+    "occluboost_mot17_ablation".  Returns base defaults overlaid with the
+    tuned values — ready to pass as tracker params.
+    """
+    tuned_dir = Path(__file__).resolve().parent / "trackers" / "tuned"
+    path = tuned_dir / f"{name}.yaml"
+    if not path.exists():
+        raise ValueError(
+            f"unknown tuned config {name!r}; available: {available_tuned_configs()}"
+        )
+    tracker = name.split("_", 1)[0]
+    with open(path) as f:
+        overlay = yaml.safe_load(f) or {}
+    return {**get_tracker_defaults(tracker), **overlay}
+
+
 _MODES_PATH = Path(__file__).resolve().parent / "modes.yaml"
 _MODES_CACHE: dict | None = None
 

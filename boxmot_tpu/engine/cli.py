@@ -56,7 +56,9 @@ def cli():
               help="rich table output (default: auto on TTY)")
 @click.option("--kf-noise", type=click.Path(exists=True), default=None,
               help="tune-kf JSON; injects calibrated KF std weights")
-def eval(data, benchmark, split, tracker, output_dir, cache_root, detector, reid, min_det_conf, postprocessing, param, plots_dir, use_rich, kf_noise):
+@click.option("--tuned", default=None,
+              help="benchmark-tuned config id, e.g. occluboost_mot17_ablation")
+def eval(data, benchmark, split, tracker, output_dir, cache_root, detector, reid, min_det_conf, postprocessing, param, plots_dir, use_rich, kf_noise, tuned):
     """Replay cached detections and report HOTA / MOTA / IDF1."""
     from boxmot_tpu.engine.eval import run_eval
 
@@ -71,10 +73,16 @@ def eval(data, benchmark, split, tracker, output_dir, cache_root, detector, reid
     if not data:
         raise click.ClickException("provide --data or --benchmark")
 
+    params = _parse_params(param)
+    if tuned:
+        from boxmot_tpu.configs import load_tuned_config
+
+        params = {**load_tuned_config(tuned), **params}
+
     res = run_eval(
         data,
         tracker,
-        tracker_params=_parse_params(param),
+        tracker_params=params,
         output_dir=output_dir,
         cache_root=cache_root,
         detector=detector,

@@ -188,3 +188,47 @@ class TestBackends:
             backend="tpe",
         )
         assert best["metrics"]["HOTA"] > 0.3
+
+
+class TestTunedConfigs:
+    """Benchmark-tuned overlay configs (reference configs/trackers/tuned/)."""
+
+    def test_all_five_variants_load(self):
+        from boxmot_tpu.configs import available_tuned_configs, load_tuned_config
+
+        names = available_tuned_configs()
+        assert set(names) == {
+            "botsort_mot17_ablation",
+            "hybridsort_sportsmot_val",
+            "occluboost_mot17_ablation",
+            "occluboost_mot17_test",
+            "occluboost_sportsmot_val",
+        }
+        for name in names:
+            cfg = load_tuned_config(name)
+            assert isinstance(cfg, dict) and cfg
+
+    def test_overlay_wins_over_base(self):
+        from boxmot_tpu.configs import get_tracker_defaults, load_tuned_config
+
+        base = get_tracker_defaults("occluboost")
+        tuned = load_tuned_config("occluboost_mot17_ablation")
+        assert tuned["max_age"] == 146
+        assert set(base).issubset(set(tuned))
+
+    def test_tuned_constructs_replay_config(self):
+        from boxmot_tpu.configs import load_tuned_config
+        from boxmot_tpu.engine.eval import build_replay_config
+
+        for name, tracker in [
+            ("occluboost_mot17_ablation", "occluboost"),
+            ("botsort_mot17_ablation", "botsort"),
+            ("hybridsort_sportsmot_val", "hybridsort"),
+        ]:
+            build_replay_config(tracker, **load_tuned_config(name))
+
+    def test_unknown_tuned_rejected(self):
+        from boxmot_tpu.configs import load_tuned_config
+
+        with pytest.raises(ValueError):
+            load_tuned_config("bytetrack_mars_test")
