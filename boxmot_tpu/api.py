@@ -203,9 +203,14 @@ class Boxmot:
     def train(self, *, data, dataset: str = "market1501", steps: int = 1000,
               ckpt_dir="reid_ckpts", resume=None, **cfg_kwargs):
         """Train the configured ReID backbone (client.py .train role)."""
+        from boxmot_tpu.reid.core import infer_model_name
         from boxmot_tpu.reid.training.trainer import ReIDTrainer, TrainConfig
 
         model = str(self.reid) if self.reid not in (None, "", "none") else "osnet_x0_25"
+        if Path(model).exists():
+            # a weights path names the backbone via its filename, like the
+            # other verbs (export/eval_reid)
+            model = infer_model_name(model)
         cfg = TrainConfig(
             model=model, dataset=dataset, data_root=str(data), steps=steps,
             ckpt_dir=str(ckpt_dir), **cfg_kwargs,

@@ -204,6 +204,18 @@ def setup_mot17_from_parquet(
                 )
                 np.save(npy, arr)
 
-    marker.touch()
-    LOGGER.info("MOT17 parquet setup complete: %s", split_dir)
+    # Only mark complete when every shard this split needs was present;
+    # a partial snapshot must retry on the next call, not short-circuit.
+    needs_gt = split != "test"
+    complete = (det_df is not None) and (gt_df is not None or not needs_gt)
+    if complete:
+        marker.touch()
+        LOGGER.info("MOT17 parquet setup complete: %s", split_dir)
+    else:
+        LOGGER.warning(
+            "MOT17 parquet setup partial (missing %s shard) — will retry "
+            "next run: %s",
+            "gt" if gt_df is None and needs_gt else "det",
+            split_dir,
+        )
     return split_dir

@@ -444,18 +444,19 @@ def build(force):
     the jitted XLA program, so the native layer is the host runtime:
     cache IO, frame packing, MOT writing, JV assignment.
     """
-    from pathlib import Path
-
+    from boxmot_tpu import native as native_mod
     from boxmot_tpu.native import get_library
 
     if force:
-        import shutil
-
-        build_dir = Path(__file__).resolve().parents[3] / "native" / "cpp" / "build"
-        lib = build_dir / "libboxmot_native.so"
+        lib = native_mod._BUILD_DIR / "libboxmot_native.so"
         if lib.exists():
             lib.unlink()
-        shutil.rmtree(build_dir / "CMakeCache.txt", ignore_errors=True)
+        cache = native_mod._BUILD_DIR / "CMakeCache.txt"
+        if cache.exists():
+            cache.unlink()
+        # reset the load cache so get_library() rebuilds
+        native_mod._LIB = None
+        native_mod._TRIED = False
     lib = get_library()
     if lib is None:
         click.echo("native library unavailable (toolchain missing?); "

@@ -23,12 +23,14 @@ from boxmot_tpu.data.mot import MOTDataset
 
 
 def load_frame(path: Path) -> np.ndarray:
-    """Read an image as BGR uint8 (the tracker-facing convention)."""
-    from PIL import Image
+    """Read an image as BGR uint8 (the tracker-facing convention).
 
-    with Image.open(path) as im:
-        rgb = np.asarray(im.convert("RGB"))
-    return rgb[..., ::-1]
+    Delegates to the single shared decoder so cache hits and disk
+    fallbacks behave identically (incl. .npy frames for OBB layouts).
+    """
+    from boxmot_tpu.data.frame_cache import read_frame
+
+    return read_frame(Path(path))
 
 
 def run_generate(
@@ -91,9 +93,11 @@ def run_generate(
             epath = emb_cache_path(cache_root, detector, rname, seq.name, preprocess)
             feat = reid_model.feature_dim
             ew = AppendableNpyWriter(epath, 1 + feat)
+            # Preload frames only when embedding work remains — an
+            # idempotent re-run must not pay a full-sequence decode.
             cache = (
                 FrameCache(list(seq.img_paths), fallback=load_frame)
-                if frame_cache
+                if frame_cache and ew.rows < n_total
                 else None
             )
             read = cache.read_image if cache is not None else load_frame

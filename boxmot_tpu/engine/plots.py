@@ -15,6 +15,8 @@ from pathlib import Path
 
 import numpy as np
 
+from ..utils.fmt import as_percent as _as_pct  # shared with rich_ui
+
 # Validated categorical palette (light surface), fixed slot order.
 CATEGORICAL = (
     "#2a78d6",  # blue
@@ -41,11 +43,6 @@ def _agg_plt():
     import matplotlib.pyplot as plt
 
     return plt
-
-
-def _as_pct(v: float) -> float:
-    """Metrics arrive as fractions (0..1) or percentages; normalize to %."""
-    return v * 100.0 if 0.0 <= v <= 1.5 else v
 
 
 def plot_metric_radar(

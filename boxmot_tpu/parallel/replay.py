@@ -73,11 +73,19 @@ def sharded_reid_features(reid, crops_batch: np.ndarray, mesh: Mesh | None = Non
     )
     params = jax.device_put(reid.variables, NamedSharding(mesh, P()))
 
-    @jax.jit
-    def fwd(variables, x):
-        feats = reid.model.apply(variables, x).astype(jnp.float32)
-        norm = jnp.linalg.norm(feats, axis=-1, keepdims=True)
-        return feats / jnp.maximum(norm, 1e-12)
+    # Cache the jitted forward on the reid instance: a fresh closure per
+    # call would retrace + recompile the XLA program every frame.
+    fwd = getattr(reid, "_sharded_forward", None)
+    if fwd is None:
+        model = reid.model
+
+        @jax.jit
+        def fwd(variables, x):
+            feats = model.apply(variables, x).astype(jnp.float32)
+            norm = jnp.linalg.norm(feats, axis=-1, keepdims=True)
+            return feats / jnp.maximum(norm, 1e-12)
+
+        reid._sharded_forward = fwd
 
     out = np.asarray(fwd(params, data))
     return out[:n]

@@ -63,6 +63,7 @@ class TFLiteReID:
         self._inp = self._interp.get_input_details()[0]
         self._out = self._interp.get_output_details()[0]
         self._batch_resizable = True
+        self._native_shape = tuple(self._inp["shape"])
         self.feature_dim = int(self._out["shape"][-1])
 
     def _resize(self, shape: tuple) -> None:
@@ -76,10 +77,17 @@ class TFLiteReID:
             try:
                 self._resize(batch.shape)
             except Exception:
-                # fixed-batch model: restore batch-1 and loop per crop
+                # fixed-batch model: restore the exported shape and loop
+                # per crop (restoring the original shape always succeeds)
                 self._batch_resizable = False
-                self._resize((1, *batch.shape[1:]))
+                self._resize(self._native_shape)
         if tuple(self._inp["shape"]) != batch.shape:
+            if tuple(self._inp["shape"][1:]) != batch.shape[1:]:
+                raise ValueError(
+                    f"crop shape {batch.shape[1:]} does not match the tflite "
+                    f"model input {tuple(self._inp['shape'][1:])}; pass the "
+                    "crop_hw the model was exported with"
+                )
             return np.concatenate(
                 [self._invoke(batch[i : i + 1]) for i in range(len(batch))]
             )

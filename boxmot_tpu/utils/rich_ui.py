@@ -200,9 +200,7 @@ def metrics_table(results: dict[str, dict], metrics=("HOTA", "MOTA", "IDF1"),
                   title: str = "results", console=None):
     """Per-tracker (or per-sequence) metric table reporter."""
 
-    def pct(v):
-        v = float(v)
-        return v * 100.0 if 0.0 <= v <= 1.5 else v
+    from .fmt import as_percent as pct
 
     if not rich_available():
         for name, m in results.items():

@@ -77,3 +77,26 @@ class TestFacadeParity:
         reid_fixture = _P(__file__).parent.parent / "assets" / "reid-mini" / "Market-1501-v15.09.15"
         res = Boxmot(reid="osnet_x0_25").eval_reid(data=reid_fixture.parent)
         assert 0.0 <= res["mAP"] <= 1.0
+
+    def test_train_verb_resolves_weights_path(self, tmp_path, monkeypatch):
+        # a reid weights PATH must resolve to its backbone name, not be
+        # passed verbatim as the model id
+        from boxmot_tpu import api as api_mod
+        from boxmot_tpu.api import Boxmot
+
+        captured = {}
+
+        class FakeTrainer:
+            def __init__(self, cfg):
+                captured["model"] = cfg.model
+
+            def fit(self):
+                return {"steps": 0}
+
+        monkeypatch.setattr(
+            "boxmot_tpu.reid.training.trainer.ReIDTrainer", FakeTrainer
+        )
+        weights = tmp_path / "osnet_x0_25_market.pt"
+        weights.write_bytes(b"stub")
+        Boxmot(reid=str(weights)).train(data=tmp_path, steps=1)
+        assert captured["model"] == "osnet_x0_25"
