@@ -62,6 +62,12 @@ def eval(data, benchmark, split, tracker, output_dir, cache_root, detector, reid
     """Replay cached detections and report HOTA / MOTA / IDF1."""
     from boxmot_tpu.engine.eval import run_eval
 
+    params = _parse_params(param)
+    if tuned:
+        from boxmot_tpu.configs import load_tuned_config
+
+        params = {**load_tuned_config(tuned), **params}
+
     if benchmark:
         from boxmot_tpu.configs.benchmark import load_benchmark, resolve_split_dir
 
@@ -70,14 +76,28 @@ def eval(data, benchmark, split, tracker, output_dir, cache_root, detector, reid
         if detector == "public":
             detector = bcfg.get("detector", {}).get("id", "public")
         reid = reid or (bcfg.get("reid", {}) or {}).get("id")
+        if bcfg["dataset"].get("box_type") == "obb":
+            from boxmot_tpu.engine.eval_obb import run_eval_obb
+
+            # the mmot split dir holds mot/ + npy/, one level up from npy
+            obb_root = Path(data).parent if Path(data).name == "npy" else Path(data)
+            res = run_eval_obb(
+                obb_root, tracker, tracker_params=params,
+                output_dir=output_dir, verbose=True,
+            )
+            c = res["combined"]
+            for cls_id, m in res.get("per_class", {}).items():
+                click.echo(
+                    f"  class {cls_id}: HOTA {100 * m['HOTA']:.2f}  "
+                    f"MOTA {100 * m['MOTA']:.2f}  IDF1 {100 * m['IDF1']:.2f}"
+                )
+            click.echo(
+                f"CLASS-AVERAGED: HOTA {100 * c['HOTA']:.2f}  "
+                f"MOTA {100 * c['MOTA']:.2f}  IDF1 {100 * c['IDF1']:.2f}"
+            )
+            return
     if not data:
         raise click.ClickException("provide --data or --benchmark")
-
-    params = _parse_params(param)
-    if tuned:
-        from boxmot_tpu.configs import load_tuned_config
-
-        params = {**load_tuned_config(tuned), **params}
 
     res = run_eval(
         data,
