@@ -48,6 +48,10 @@ class TrainConfig:
     eval_interval: int = 0  # 0 = only at end
     seed: int = 0
     ckpt_dir: str = ""
+    # 0 = single device; N > 1 shards the P*K batch over an N-device mesh
+    # (params replicated; XLA inserts the gradient all-reduce, and batch
+    # norm statistics reduce globally across shards under SPMD)
+    n_devices: int = 0
 
 
 class ReIDClassifier(nn.Module):
@@ -97,6 +101,34 @@ class ReIDTrainer:
         self.ema_params = jax.tree.map(jnp.copy, self.params)
         self.step = 0
         self.history = []
+
+        # -- optional data-parallel mesh (SURVEY 2.9: ReID batches are
+        # standard data-parallel work; DCN/ICI only carries the grad
+        # all-reduce that XLA inserts under jit) --
+        self.mesh = None
+        self._batch_sharding = None
+        if cfg.n_devices and cfg.n_devices > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            devices = jax.devices()[: cfg.n_devices]
+            if len(devices) < cfg.n_devices:
+                raise ValueError(
+                    f"n_devices={cfg.n_devices} but only {len(devices)} present"
+                )
+            # the sampler clips P to the identities available, so check
+            # the effective batch, not the nominal p*k
+            batch = min(cfg.p, self.num_classes) * cfg.k
+            if batch % cfg.n_devices:
+                raise ValueError(
+                    f"effective batch {batch} must divide n_devices={cfg.n_devices}"
+                )
+            self.mesh = Mesh(np.asarray(devices), ("batch",))
+            self._batch_sharding = NamedSharding(self.mesh, P("batch"))
+            replicated = NamedSharding(self.mesh, P())
+            self.params = jax.device_put(self.params, replicated)
+            self.batch_stats = jax.device_put(self.batch_stats, replicated)
+            self.opt_state = jax.device_put(self.opt_state, replicated)
+            self.ema_params = jax.device_put(self.ema_params, replicated)
 
         cfg_static = cfg
         model = self.model
@@ -182,6 +214,10 @@ class ReIDTrainer:
         t0 = time.perf_counter()
         while self.step < steps:
             images, labels = self._next_batch()
+            images, labels = jnp.asarray(images), jnp.asarray(labels)
+            if self._batch_sharding is not None:
+                images = jax.device_put(images, self._batch_sharding)
+                labels = jax.device_put(labels, self._batch_sharding)
             (
                 self.params,
                 self.batch_stats,
@@ -195,8 +231,8 @@ class ReIDTrainer:
                 self.batch_stats,
                 self.opt_state,
                 self.ema_params,
-                jnp.asarray(images),
-                jnp.asarray(labels),
+                images,
+                labels,
             )
             self.step += 1
             if self.step % log_every == 0 or self.step == steps:

@@ -237,3 +237,47 @@ class TestDatasetIndexers:
             load_dataset("duke", tmp_path)
         with pytest.raises(ValueError, match="unknown reid dataset"):
             load_dataset("imagenet", tmp_path)
+
+
+class TestDataParallelTraining:
+    """n_devices > 1 shards the P*K batch over a mesh; semantics stay
+    global-batch-exact (grad all-reduce + global BN stats via SPMD)."""
+
+    def _cfg(self, tmp_path, n_devices=0, steps=3):
+        return TrainConfig(
+            model="osnet_x0_25",
+            data_root=str(FIXTURE),
+            crop_hw=(64, 32),
+            p=4,
+            k=2,
+            steps=steps,
+            warmup_steps=1,
+            ckpt_dir=str(tmp_path),
+            seed=0,
+            n_devices=n_devices,
+        )
+
+    def test_sharded_matches_single_device(self, tmp_path):
+        # Semantics are global-batch-exact; only float reduction order
+        # differs.  The first step must agree tightly; later steps drift
+        # as adam amplifies the ~1e-5 per-op noise, so compare loosely.
+        single = ReIDTrainer(self._cfg(tmp_path / "a"))
+        h1 = single.fit(log_every=1)
+        sharded = ReIDTrainer(self._cfg(tmp_path / "b", n_devices=4))
+        assert sharded.mesh is not None
+        h2 = sharded.fit(log_every=1)
+        assert abs(h1[0]["loss"] - h2[0]["loss"]) < 1e-3, (h1[0], h2[0])
+        for a, b in zip(h1, h2):
+            assert np.isfinite(b["loss"])
+            assert abs(a["loss"] - b["loss"]) < 0.05 * max(1.0, abs(a["loss"]))
+        # params moved comparably (same trajectory up to fp drift)
+        la = jax.tree_util.tree_leaves(jax.tree.map(np.asarray, single.params))
+        lb = jax.tree_util.tree_leaves(jax.tree.map(np.asarray, sharded.params))
+        assert all(np.allclose(x, y, atol=5e-3) for x, y in zip(la, lb))
+
+    def test_batch_must_divide_devices(self, tmp_path):
+        import pytest
+
+        cfg = self._cfg(tmp_path, n_devices=3)  # effective batch 4, not divisible
+        with pytest.raises(ValueError, match="divide"):
+            ReIDTrainer(cfg)
