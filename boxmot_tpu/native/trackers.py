@@ -1,0 +1,195 @@
+"""ctypes bindings for the native live tracker cores.
+
+Mirror of the reference's per-tracker ctypes wrappers
+(boxmot/native/trackers/bytetrack.py:54-226): create from a config,
+feed per-frame (N, 6) detections, receive (M, 8) track rows with the
+same TrackResults surface as the device trackers.  The C++ cores are
+slot-bank mirrors of the device programs (native/cpp/src/*_bank.hpp),
+so `backend="cpp"` is a drop-in CPU path for hosts without a TPU.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from boxmot_tpu.native import get_library
+from boxmot_tpu.trackers.track_results import TrackResults
+
+_BOUND = False
+
+
+def _bind(lib):
+    global _BOUND
+    if _BOUND:
+        return
+    lib.bmt_tracker_create.restype = ctypes.c_void_p
+    lib.bmt_tracker_create.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.bmt_tracker_destroy.argtypes = [ctypes.c_void_p]
+    lib.bmt_tracker_reset.argtypes = [ctypes.c_void_p]
+    lib.bmt_tracker_capacity.argtypes = [ctypes.c_void_p]
+    lib.bmt_tracker_update.restype = ctypes.c_int64
+    lib.bmt_tracker_update.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.bmt_tracker_last_error.restype = ctypes.c_char_p
+    _BOUND = True
+
+
+# Config keys accepted by each native core (ByteTrackConfig::from_string).
+_NATIVE_KEYS = {
+    "bytetrack": (
+        "track_thresh",
+        "match_thresh",
+        "min_conf",
+        "det_thresh",
+        "max_time_lost",
+        "capacity",
+        "std_weight_position",
+        "std_weight_velocity",
+    ),
+    "ocsort": (
+        "det_thresh",
+        "min_conf",
+        "max_age",
+        "min_hits",
+        "iou_threshold",
+        "delta_t",
+        "inertia",
+        "use_byte",
+        "q_xy_scaling",
+        "q_s_scaling",
+        "capacity",
+    ),
+    "sfsort": (
+        "high_th",
+        "match_th_first",
+        "new_track_th",
+        "low_th",
+        "match_th_second",
+        "dynamic_tuning",
+        "cth",
+        "high_th_m",
+        "new_track_th_m",
+        "match_th_first_m",
+        "marginal_timeout",
+        "central_timeout",
+        "frame_width",
+        "frame_height",
+        "horizontal_margin",
+        "vertical_margin",
+        "capacity",
+    ),
+    "boosttrack": (
+        "det_thresh",
+        "max_age",
+        "min_hits",
+        "iou_threshold",
+        "min_box_area",
+        "aspect_ratio_thresh",
+        "lambda_iou",
+        "lambda_mhd",
+        "lambda_shape",
+        "use_dlo_boost",
+        "use_duo_boost",
+        "dlo_boost_coef",
+        "s_sim_corr",
+        "use_rich_s",
+        "use_sb",
+        "use_vt",
+        "capacity",
+    ),
+}
+
+NATIVE_LIVE_TRACKERS = tuple(_NATIVE_KEYS)
+
+
+class NativeTracker:
+    """Live tracker backed by a C++ slot-bank core.
+
+    Presents the device trackers' `update(dets, img) -> TrackResults`
+    contract (trackers/base.py:113-118).  AABB only — the OBB and
+    appearance paths stay on the device programs.
+    """
+
+    def __init__(self, tracker_type: str, **params):
+        lib = get_library()
+        if lib is None:
+            raise RuntimeError("native library unavailable (no C++ toolchain?)")
+        _bind(lib)
+        self._lib = lib
+        keys = _NATIVE_KEYS.get(tracker_type)
+        if keys is None:
+            raise ValueError(f"no native core for tracker {tracker_type!r}")
+        # host-wrapper param aliases (ByteTrack.__init__, OcSort.__init__)
+        params = {
+            {"Q_xy_scaling": "q_xy_scaling", "Q_s_scaling": "q_s_scaling"}.get(k, k): v
+            for k, v in params.items()
+        }
+        if "track_buffer" in params and "max_time_lost" not in params:
+            frame_rate = params.get("frame_rate", 30)
+            params["max_time_lost"] = int(
+                frame_rate / 30.0 * params["track_buffer"]
+            )
+        asso = params.get("asso_func", "iou")
+        if tracker_type == "ocsort" and asso != "iou":
+            raise ValueError(
+                "native ocsort supports asso_func='iou' only "
+                "(matching the reference native core, docs/native/index.md:31)"
+            )
+        if tracker_type == "boosttrack" and params.get("with_reid"):
+            raise ValueError(
+                "native boosttrack is motion-only; use the device program "
+                "for the ReID path"
+            )
+        cfg = ";".join(
+            f"{k}={float(params[k])}"
+            for k in keys
+            if params.get(k) is not None
+        )
+        self._handle = lib.bmt_tracker_create(
+            tracker_type.encode(), cfg.encode()
+        )
+        if not self._handle:
+            raise RuntimeError(lib.bmt_tracker_last_error().decode())
+        self.tracker_type = tracker_type
+        self.capacity = lib.bmt_tracker_capacity(self._handle)
+        self._out = np.empty((self.capacity, 8), np.float32)
+        self.frame_count = 0
+        self.is_obb = False
+        self.per_class = False
+
+    def update(self, dets, img=None, embs=None, masks=None) -> TrackResults:
+        if dets is None:
+            dets = np.empty((0, 6), np.float32)
+        if hasattr(dets, "data") and not isinstance(dets, np.ndarray):
+            dets = dets.data
+        dets = np.ascontiguousarray(dets, np.float32)
+        if dets.ndim != 2 or dets.shape[1] != 6:
+            raise AssertionError(
+                "native trackers take (N, 6) [x1,y1,x2,y2,conf,cls] dets"
+            )
+        m = self._lib.bmt_tracker_update(
+            self._handle,
+            dets.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            dets.shape[0],
+            self._out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if m < 0:
+            raise RuntimeError(self._lib.bmt_tracker_last_error().decode())
+        self.frame_count += 1
+        return TrackResults(self._out[:m].copy())
+
+    def reset(self):
+        self._lib.bmt_tracker_reset(self._handle)
+        self.frame_count = 0
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.bmt_tracker_destroy(handle)
+            self._handle = None

@@ -36,6 +36,20 @@ def get_tracker_class(name: str):
     return getattr(importlib.import_module(module), cls)
 
 
+def parse_tracker_spec(spec: str) -> tuple[str, str]:
+    """Parse "name" / "name:backend" into (name, backend).
+
+    Mirror of the reference's TrackerSpec parse (trackers/specs.py:10-88);
+    backends: "tpu" (device programs, default) and "cpp" (native
+    slot-bank cores, boxmot_tpu/native/trackers.py).
+    """
+    name, _, backend = spec.partition(":")
+    backend = backend or "tpu"
+    if backend not in ("tpu", "cpp"):
+        raise ValueError(f"unknown tracker backend {backend!r} in {spec!r}")
+    return name, backend
+
+
 def create_tracker(
     tracker_type: str,
     tracker_config: dict | None = None,
@@ -44,14 +58,22 @@ def create_tracker(
     half: bool = False,
     per_class: bool = False,
     evolve_param_dict: dict | None = None,
+    backend: str | None = None,
     **kwargs,
 ):
     """Build a tracker instance by name.
 
     Signature parity with reference create_tracker (tracker_zoo.py:33-148);
     reid_weights/device/half are accepted for API compatibility — ReID
-    model wiring lands with the appearance trackers.
+    model wiring lands with the appearance trackers.  `tracker_type` may
+    carry a backend suffix ("bytetrack:cpp") or the backend can be given
+    explicitly; "cpp" dispatches to the native slot-bank cores (reference
+    native dispatch: tracker_zoo.py:33-60 backend=="cpp").
     """
+    if ":" in tracker_type:
+        tracker_type, spec_backend = parse_tracker_spec(tracker_type)
+        backend = backend or spec_backend
+    backend = backend or "tpu"
     cls = get_tracker_class(tracker_type)
     if tracker_config is None:
         from boxmot_tpu.configs import get_tracker_defaults
@@ -70,6 +92,17 @@ def create_tracker(
     if evolve_param_dict:
         params.update(evolve_param_dict)
     params.update(kwargs)
+    if backend == "cpp":
+        from boxmot_tpu.native.trackers import NATIVE_LIVE_TRACKERS, NativeTracker
+
+        if tracker_type not in NATIVE_LIVE_TRACKERS:
+            raise ValueError(
+                f"no native (cpp) core for {tracker_type!r}; "
+                f"available: {sorted(NATIVE_LIVE_TRACKERS)}"
+            )
+        if per_class:
+            raise ValueError("per_class is not supported on the cpp backend")
+        return NativeTracker(tracker_type, **params)
     params["per_class"] = per_class
     if reid_weights is not None and tracker_type in REID_TRACKERS:
         from boxmot_tpu.reid.backends import create_reid

@@ -25,7 +25,7 @@ const char* bmt_version(void);
 const char* bmt_last_error(void);
 
 /* Read a little-endian float32 2-D .npy file.
- * On success fills *rows/*cols and returns a malloc'd buffer the caller
+ * On success fills *rows and *cols and returns a malloc'd buffer the caller
  * frees with bmt_free. Returns 0 on success. */
 int bmt_read_npy_f32(const char* path, float** data, int64_t* rows, int64_t* cols);
 
@@ -64,6 +64,21 @@ int bmt_lapjv(const double* cost, int64_t n_rows, int64_t n_cols,
               double limit, int32_t* r2c);
 
 void bmt_free(void* ptr);
+
+/* Live tracker cores (slot-bank mirrors of the device programs; see
+ * src/{bytetrack,ocsort,boosttrack,sfsort}_bank.hpp and the reference
+ * per-tracker C APIs, native/cpp/trackers/<t>/src/c_api.cpp).
+ *   name:   "bytetrack" | "ocsort" | "boosttrack" | "sfsort"
+ *   config: "key=value;key=value" tracker parameters
+ * Update consumes (n x 6) [x1,y1,x2,y2,conf,cls] float32 rows and fills
+ * out (capacity x 8) [x1,y1,x2,y2,id,conf,cls,det_ind]; returns rows
+ * written or -1 (see bmt_tracker_last_error). */
+void* bmt_tracker_create(const char* name, const char* config);
+void bmt_tracker_destroy(void* handle);
+int bmt_tracker_reset(void* handle);
+int bmt_tracker_capacity(void* handle);
+int64_t bmt_tracker_update(void* handle, const float* dets, int64_t n, float* out);
+const char* bmt_tracker_last_error(void);
 
 #ifdef __cplusplus
 }

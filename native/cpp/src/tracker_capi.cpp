@@ -1,0 +1,113 @@
+// Flat C ABI over the native slot-bank tracker cores.
+//
+// Mirrors the role of the reference's per-tracker live C APIs
+// (boxmot/native/cpp/trackers/*/src/c_api.cpp; contract described in
+// live_c_api.hpp): create from a config string, feed (N, 6) detections
+// per frame, receive (M, 8) [x1,y1,x2,y2,id,conf,cls,det_ind] rows.
+// Image/embedding inputs are not part of this ABI — appearance trackers
+// run on the device path.
+
+#include <cstdint>
+#include <cstring>
+#include <memory>
+#include <string>
+
+#include "boosttrack_bank.hpp"
+#include "bytetrack_bank.hpp"
+#include "ocsort_bank.hpp"
+#include "sfsort_bank.hpp"
+
+namespace {
+
+thread_local std::string g_tracker_error;
+
+struct TrackerHandle {
+    virtual ~TrackerHandle() = default;
+    virtual void reset() = 0;
+    virtual int64_t step(const float* dets, int64_t n, float* out) = 0;
+    virtual int capacity() const = 0;
+};
+
+template <class Core>
+struct HandleImpl final : TrackerHandle {
+    Core core;
+    explicit HandleImpl(const Core& c) : core(c) {}
+    void reset() override { core.reset(); }
+    int64_t step(const float* dets, int64_t n, float* out) override {
+        return core.step(dets, n, out);
+    }
+    int capacity() const override { return core.capacity(); }
+};
+
+}  // namespace
+
+extern "C" {
+
+const char* bmt_tracker_last_error(void) { return g_tracker_error.c_str(); }
+
+// name: tracker type ("bytetrack"); config: "key=value;key=value".
+void* bmt_tracker_create(const char* name, const char* config) {
+    g_tracker_error.clear();
+    std::string n = name ? name : "";
+    if (n == "bytetrack") {
+        auto cfg = boxmot::ByteTrackConfig::from_string(config);
+        if (cfg.capacity <= 0 || cfg.capacity > (1 << 16)) {
+            g_tracker_error = "bad capacity";
+            return nullptr;
+        }
+        return new HandleImpl<boxmot::ByteTrackCore>(boxmot::ByteTrackCore(cfg));
+    }
+    if (n == "ocsort") {
+        auto cfg = boxmot::OcSortConfig::from_string(config);
+        if (cfg.capacity <= 0 || cfg.capacity > (1 << 16) || cfg.delta_t <= 0) {
+            g_tracker_error = "bad capacity/delta_t";
+            return nullptr;
+        }
+        return new HandleImpl<boxmot::OcSortCore>(boxmot::OcSortCore(cfg));
+    }
+    if (n == "boosttrack") {
+        auto cfg = boxmot::BoostTrackConfig::from_string(config);
+        if (cfg.capacity <= 0 || cfg.capacity > (1 << 16)) {
+            g_tracker_error = "bad capacity";
+            return nullptr;
+        }
+        return new HandleImpl<boxmot::BoostTrackCore>(boxmot::BoostTrackCore(cfg));
+    }
+    if (n == "sfsort") {
+        auto cfg = boxmot::SFSortConfig::from_string(config);
+        if (cfg.capacity <= 0 || cfg.capacity > (1 << 16)) {
+            g_tracker_error = "bad capacity";
+            return nullptr;
+        }
+        return new HandleImpl<boxmot::SFSortCore>(boxmot::SFSortCore(cfg));
+    }
+    g_tracker_error = "unknown native tracker: " + n;
+    return nullptr;
+}
+
+void bmt_tracker_destroy(void* h) { delete static_cast<TrackerHandle*>(h); }
+
+int bmt_tracker_reset(void* h) {
+    if (!h) {
+        g_tracker_error = "null handle";
+        return -1;
+    }
+    static_cast<TrackerHandle*>(h)->reset();
+    return 0;
+}
+
+int bmt_tracker_capacity(void* h) {
+    return h ? static_cast<TrackerHandle*>(h)->capacity() : -1;
+}
+
+// dets: (n, 6) [x1,y1,x2,y2,conf,cls] float32 row-major.  out must hold
+// capacity() * 8 floats.  Returns rows written, or -1 on error.
+int64_t bmt_tracker_update(void* h, const float* dets, int64_t n, float* out) {
+    if (!h || (n > 0 && !dets) || !out) {
+        g_tracker_error = "bad args to bmt_tracker_update";
+        return -1;
+    }
+    return static_cast<TrackerHandle*>(h)->step(dets, n, out);
+}
+
+}  // extern "C"

@@ -1,0 +1,269 @@
+"""Native (C++) live tracker cores: contract + parity vs the device programs.
+
+Mirror of the reference's native parity strategy (SURVEY.md §4: Py vs C++
+benchmark metrics compared at CI level, replay protocol tests at unit
+level) — here the C++ slot-bank core is compared frame-by-frame against
+the JAX ByteTrack on synthetic scenes.
+"""
+
+import numpy as np
+import pytest
+
+from boxmot_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="native toolchain unavailable"
+)
+
+IMG = np.zeros((480, 640, 3), np.uint8)
+
+
+def moving_scene(n_frames=40, n_obj=6, seed=0, drop_p=0.15, low_conf_p=0.25):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(50, 500, (n_obj, 2))
+    vel = rng.uniform(-4, 4, (n_obj, 2))
+    size = rng.uniform(30, 80, (n_obj, 2))
+    frames = []
+    for f in range(n_frames):
+        dets = []
+        for i in range(n_obj):
+            p = pos[i] + vel[i] * f
+            if not (0 < p[0] < 600 and 0 < p[1] < 440):
+                continue
+            if rng.uniform() < drop_p:
+                continue
+            jitter = rng.normal(0, 1.5, 2)
+            x1, y1 = p + jitter
+            w, h = size[i] * rng.uniform(0.95, 1.05, 2)
+            conf = (
+                rng.uniform(0.15, 0.44)
+                if rng.uniform() < low_conf_p
+                else rng.uniform(0.5, 0.95)
+            )
+            dets.append([x1, y1, x1 + w, y1 + h, conf, 0.0])
+        frames.append(np.array(dets, np.float32).reshape(-1, 6))
+    return frames
+
+
+def make_native(**params):
+    from boxmot_tpu.trackers.zoo import create_tracker
+
+    return create_tracker("bytetrack:cpp", tracker_config=params)
+
+
+class TestContract:
+    def test_create_unknown(self):
+        from boxmot_tpu.native.trackers import NativeTracker
+
+        with pytest.raises(ValueError):
+            NativeTracker("nosuchtracker")
+
+    def test_first_frame_activation(self):
+        trk = make_native()
+        dets = np.array([[10, 10, 60, 100, 0.9, 0.0]], np.float32)
+        out = trk.update(dets, IMG)
+        assert out.shape == (1, 8)
+        assert out.id[0] == 1
+        assert out.det_ind[0] == 0
+
+    def test_no_detections(self):
+        trk = make_native()
+        out = trk.update(np.empty((0, 6), np.float32), IMG)
+        assert out.shape[0] == 0
+        trk.update(np.array([[10, 10, 60, 100, 0.9, 0.0]], np.float32), IMG)
+        out = trk.update(np.empty((0, 6), np.float32), IMG)
+        assert out.shape[0] == 0
+
+    def test_reset(self):
+        trk = make_native()
+        dets = np.array([[10, 10, 60, 100, 0.9, 0.0]], np.float32)
+        trk.update(dets, IMG)
+        trk.update(dets, IMG)
+        trk.reset()
+        out = trk.update(dets, IMG)
+        assert out.id[0] == 1  # id counter restarts
+
+    def test_stable_ids(self):
+        trk = make_native()
+        for f in range(10):
+            dets = np.array(
+                [[10 + 2 * f, 10, 60 + 2 * f, 100, 0.9, 0.0]], np.float32
+            )
+            out = trk.update(dets, IMG)
+            assert out.shape[0] == 1
+            assert out.id[0] == 1
+
+    def test_zoo_backend_suffix(self):
+        from boxmot_tpu.native.trackers import NativeTracker
+
+        trk = make_native(track_thresh=0.33, capacity=64)
+        assert isinstance(trk, NativeTracker)
+        assert trk.capacity == 64
+
+
+class TestParityVsDevice:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_scene_parity(self, seed):
+        from boxmot_tpu.trackers.bytetrack import ByteTrack
+
+        frames = moving_scene(n_frames=40, n_obj=6, seed=seed)
+        jax_trk = ByteTrack()
+        cpp_trk = make_native()
+        for f, dets in enumerate(frames):
+            out_j = np.asarray(jax_trk.update(dets, IMG))
+            out_c = np.asarray(cpp_trk.update(dets, IMG))
+            assert out_j.shape[0] == out_c.shape[0], f"frame {f}: row count"
+            ids_j = {int(r[4]): r for r in out_j}
+            ids_c = {int(r[4]): r for r in out_c}
+            assert set(ids_j) == set(ids_c), f"frame {f}: track ids"
+            for tid, rj in ids_j.items():
+                rc = ids_c[tid]
+                np.testing.assert_allclose(
+                    rc[:4], rj[:4], atol=0.5, err_msg=f"frame {f} id {tid} box"
+                )
+                assert rc[5] == pytest.approx(rj[5], abs=1e-5)  # conf
+                assert rc[7] == rj[7]  # det_ind
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("use_byte", [False, True])
+    def test_ocsort_scene_parity(self, seed, use_byte):
+        from boxmot_tpu.trackers.ocsort import OcSort
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        frames = moving_scene(n_frames=40, n_obj=6, seed=seed)
+        jax_trk = OcSort(use_byte=use_byte)
+        cpp_trk = create_tracker("ocsort:cpp", tracker_config={"use_byte": use_byte})
+        for f, dets in enumerate(frames):
+            out_j = np.asarray(jax_trk.update(dets, IMG))
+            out_c = np.asarray(cpp_trk.update(dets, IMG))
+            assert out_j.shape[0] == out_c.shape[0], f"frame {f}: row count"
+            ids_j = {int(r[4]): r for r in out_j}
+            ids_c = {int(r[4]): r for r in out_c}
+            assert set(ids_j) == set(ids_c), f"frame {f}: track ids"
+            for tid, rj in ids_j.items():
+                rc = ids_c[tid]
+                np.testing.assert_allclose(
+                    rc[:4], rj[:4], atol=0.5, err_msg=f"frame {f} id {tid} box"
+                )
+                assert rc[7] == rj[7]  # det_ind
+
+    def test_ocsort_oru_occlusion_parity(self):
+        """ORU frozen-state replay after a gap matches the device program."""
+        from boxmot_tpu.trackers.ocsort import OcSort
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        jax_trk = OcSort()
+        cpp_trk = create_tracker("ocsort:cpp")
+        box = np.array([100, 100, 160, 220], np.float32)
+        for f in range(25):
+            if 8 <= f < 14:  # occluded gap triggers freeze + ORU on rejoin
+                dets = np.empty((0, 6), np.float32)
+            else:
+                b = box + 4 * f * np.array([1, 0.5, 1, 0.5], np.float32)
+                dets = np.array([[*b, 0.9, 0.0]], np.float32)
+            out_j = np.asarray(jax_trk.update(dets, IMG))
+            out_c = np.asarray(cpp_trk.update(dets, IMG))
+            assert out_j.shape[0] == out_c.shape[0], f"frame {f}"
+            if out_j.shape[0]:
+                assert int(out_j[0, 4]) == int(out_c[0, 4])
+                np.testing.assert_allclose(out_c[0, :4], out_j[0, :4], atol=0.5)
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    @pytest.mark.parametrize(
+        "plus_plus", [False, True], ids=["boosttrack", "boosttrack++"]
+    )
+    def test_boosttrack_scene_parity(self, seed, plus_plus):
+        from boxmot_tpu.trackers.boosttrack import BoostTrack
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        extra = (
+            {"use_rich_s": True, "use_sb": True, "use_vt": True, "s_sim_corr": True}
+            if plus_plus
+            else {}
+        )
+        frames = moving_scene(n_frames=40, n_obj=6, seed=seed, low_conf_p=0.35)
+        # both sides built through the zoo so they share the default config
+        jax_trk = create_tracker("boosttrack", use_cmc=False, **extra)
+        assert isinstance(jax_trk, BoostTrack)
+        cpp_trk = create_tracker("boosttrack:cpp", **extra)
+        for f, dets in enumerate(frames):
+            out_j = np.asarray(jax_trk.update(dets, IMG))
+            out_c = np.asarray(cpp_trk.update(dets, IMG))
+            assert out_j.shape[0] == out_c.shape[0], f"frame {f}: row count"
+            ids_j = {int(r[4]): r for r in out_j}
+            ids_c = {int(r[4]): r for r in out_c}
+            assert set(ids_j) == set(ids_c), f"frame {f}: track ids"
+            for tid, rj in ids_j.items():
+                rc = ids_c[tid]
+                np.testing.assert_allclose(
+                    rc[:4], rj[:4], atol=0.5, err_msg=f"frame {f} id {tid} box"
+                )
+                assert rc[7] == rj[7]  # det_ind
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_sfsort_scene_parity(self, seed):
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        kw = dict(central_timeout=10, marginal_timeout=4, frame_width=640, frame_height=480)
+        frames = moving_scene(n_frames=40, n_obj=6, seed=seed, low_conf_p=0.3)
+        jax_trk = create_tracker("sfsort", **kw)
+        cpp_trk = create_tracker("sfsort:cpp", **kw)
+        for f, dets in enumerate(frames):
+            out_j = np.asarray(jax_trk.update(dets, IMG))
+            out_c = np.asarray(cpp_trk.update(dets, IMG))
+            assert out_j.shape[0] == out_c.shape[0], f"frame {f}: row count"
+            ids_j = {int(r[4]): r for r in out_j}
+            ids_c = {int(r[4]): r for r in out_c}
+            assert set(ids_j) == set(ids_c), f"frame {f}: track ids"
+            for tid, rj in ids_j.items():
+                rc = ids_c[tid]
+                np.testing.assert_allclose(
+                    rc[:4], rj[:4], atol=0.5, err_msg=f"frame {f} id {tid} box"
+                )
+                assert rc[7] == rj[7]
+
+    def test_sfsort_dynamic_tuning_parity(self):
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        kw = dict(
+            dynamic_tuning=True,
+            high_th_m=0.05,
+            new_track_th_m=0.04,
+            match_th_first_m=0.05,
+        )
+        frames = moving_scene(n_frames=25, n_obj=8, seed=3, low_conf_p=0.3)
+        jax_trk = create_tracker("sfsort", **kw)
+        cpp_trk = create_tracker("sfsort:cpp", **kw)
+        for f, dets in enumerate(frames):
+            out_j = np.asarray(jax_trk.update(dets, IMG))
+            out_c = np.asarray(cpp_trk.update(dets, IMG))
+            assert out_j.shape[0] == out_c.shape[0], f"frame {f}"
+            assert {int(r[4]) for r in out_j} == {int(r[4]) for r in out_c}
+
+    def test_boosttrack_reid_rejected(self):
+        from boxmot_tpu.native.trackers import NativeTracker
+
+        with pytest.raises(ValueError):
+            NativeTracker("boosttrack", with_reid=True)
+
+    def test_occlusion_lost_recovery(self):
+        """A track lost for a few frames keeps its id on the cpp core too."""
+        from boxmot_tpu.trackers.bytetrack import ByteTrack
+
+        jax_trk = ByteTrack()
+        cpp_trk = make_native()
+        box = [100, 100, 160, 220]
+        frames = []
+        for f in range(20):
+            if 6 <= f < 11:  # occluded
+                frames.append(np.empty((0, 6), np.float32))
+            else:
+                frames.append(
+                    np.array([[*(np.array(box) + 3 * f * np.array([1, 0, 1, 0])), 0.9, 0.0]], np.float32)
+                )
+        for dets in frames:
+            out_j = np.asarray(jax_trk.update(dets, IMG))
+            out_c = np.asarray(cpp_trk.update(dets, IMG))
+            assert out_j.shape[0] == out_c.shape[0]
+            if out_j.shape[0]:
+                assert int(out_j[0, 4]) == int(out_c[0, 4]) == 1
