@@ -107,7 +107,16 @@ def run_eval(
     tracker_params = dict(tracker_params or {})
     if kf_noise is not None:
         tracker_params = {**load_kf_noise_params(kf_noise), **tracker_params}
-    cfg = build_replay_config(tracker_type, **tracker_params)
+    # "name:cpp" replays on the native slot-bank cores instead of the
+    # device programs (reference --tracker-backend cpp,
+    # engine/eval/replay.py:533)
+    from boxmot_tpu.trackers.zoo import parse_tracker_spec
+
+    tracker_type, tracker_backend = parse_tracker_spec(tracker_type)
+    if tracker_backend == "cpp":
+        cfg = None
+    else:
+        cfg = build_replay_config(tracker_type, **tracker_params)
     seq_data = {}
     for seq in dataset:
         embs = None
@@ -130,7 +139,12 @@ def run_eval(
             dets = [d[k] for d, k in zip(dets, keep)]
             if embs is not None:
                 embs = [e[k] for e, k in zip(embs, keep)]
-        mot_rows = replay_sequence(cfg, dets, embs_per_frame=embs)
+        if tracker_backend == "cpp":
+            from boxmot_tpu.native.replay import replay_sequence_native
+
+            mot_rows = replay_sequence_native(tracker_type, dets, tracker_params)
+        else:
+            mot_rows = replay_sequence(cfg, dets, embs_per_frame=embs)
         if postprocessing:
             from boxmot_tpu.postprocessing import create_postprocessor
 
