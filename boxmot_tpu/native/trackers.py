@@ -103,6 +103,40 @@ _NATIVE_KEYS = {
         "use_vt",
         "capacity",
     ),
+    "occluboost": (
+        "det_thresh",
+        "max_age",
+        "min_hits",
+        "iou_threshold",
+        "min_box_area",
+        "aspect_ratio_thresh",
+        "lambda_iou",
+        "lambda_mhd",
+        "lambda_shape",
+        "use_dlo_boost",
+        "use_duo_boost",
+        "dlo_boost_coef",
+        "s_sim_corr",
+        "use_rich_s",
+        "use_sb",
+        "use_vt",
+        "track_low_thresh",
+        "second_iou_thresh",
+        "second_pass_max_age",
+        "second_pass_min_hits",
+        "use_second_pass",
+        "new_track_thresh",
+        "confirm_hits",
+        "instant_confirm_thresh",
+        "tentative_max_age",
+        "duplicate_iou_thresh",
+        "ams_enabled",
+        "ams_alpha0",
+        "ams_threshold",
+        "ams_buffer_size",
+        "ams_shrink_ratio",
+        "capacity",
+    ),
 }
 
 NATIVE_LIVE_TRACKERS = tuple(_NATIVE_KEYS)
@@ -141,10 +175,12 @@ class NativeTracker:
                 "native ocsort supports asso_func='iou' only "
                 "(matching the reference native core, docs/native/index.md:31)"
             )
-        if tracker_type == "boosttrack" and params.get("with_reid"):
+        if params.get("reid_model") is not None or (
+            tracker_type == "boosttrack" and params.get("with_reid")
+        ):
             raise ValueError(
-                "native boosttrack is motion-only; use the device program "
-                "for the ReID path"
+                f"native {tracker_type} is motion-only; use the device "
+                "program for the ReID path"
             )
         cfg = ";".join(
             f"{k}={float(params[k])}"

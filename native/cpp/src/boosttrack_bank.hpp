@@ -9,7 +9,8 @@
 // (reference: boxmot/trackers/bbox/boosttrack/boosttrack.py:20-529,
 // assoc.py:15-203).  Motion-only scope: no ReID embeddings and an
 // identity camera warp — the appearance/CMC paths stay on the device
-// programs.
+// programs.  The boost_* helpers are shared with the OccluBoost core
+// (occluboost_bank.hpp).
 
 #ifndef BOXMOT_BOOSTTRACK_BANK_HPP
 #define BOXMOT_BOOSTTRACK_BANK_HPP
@@ -17,6 +18,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <limits>
 #include <vector>
 
 #include "kalman_bank.hpp"
@@ -45,30 +47,289 @@ struct BoostTrackConfig {
     bool use_vt = false;
     int capacity = 256;
 
+    void load(const std::unordered_map<std::string, double>& kv) {
+        det_thresh = static_cast<float>(cfg_get(kv, "det_thresh", det_thresh));
+        max_age = static_cast<int>(cfg_get(kv, "max_age", max_age));
+        min_hits = static_cast<int>(cfg_get(kv, "min_hits", min_hits));
+        iou_threshold = static_cast<float>(cfg_get(kv, "iou_threshold", iou_threshold));
+        min_box_area = static_cast<float>(cfg_get(kv, "min_box_area", min_box_area));
+        aspect_ratio_thresh =
+            static_cast<float>(cfg_get(kv, "aspect_ratio_thresh", aspect_ratio_thresh));
+        lambda_iou = static_cast<float>(cfg_get(kv, "lambda_iou", lambda_iou));
+        lambda_mhd = static_cast<float>(cfg_get(kv, "lambda_mhd", lambda_mhd));
+        lambda_shape = static_cast<float>(cfg_get(kv, "lambda_shape", lambda_shape));
+        use_dlo_boost = cfg_get(kv, "use_dlo_boost", 1.0) != 0.0;
+        use_duo_boost = cfg_get(kv, "use_duo_boost", 1.0) != 0.0;
+        dlo_boost_coef = static_cast<float>(cfg_get(kv, "dlo_boost_coef", dlo_boost_coef));
+        s_sim_corr = cfg_get(kv, "s_sim_corr", 0.0) != 0.0;
+        use_rich_s = cfg_get(kv, "use_rich_s", 0.0) != 0.0;
+        use_sb = cfg_get(kv, "use_sb", 0.0) != 0.0;
+        use_vt = cfg_get(kv, "use_vt", 0.0) != 0.0;
+        capacity = static_cast<int>(cfg_get(kv, "capacity", capacity));
+    }
+
     static BoostTrackConfig from_string(const char* s) {
-        auto kv = parse_config(s);
         BoostTrackConfig c;
-        c.det_thresh = static_cast<float>(cfg_get(kv, "det_thresh", c.det_thresh));
-        c.max_age = static_cast<int>(cfg_get(kv, "max_age", c.max_age));
-        c.min_hits = static_cast<int>(cfg_get(kv, "min_hits", c.min_hits));
-        c.iou_threshold = static_cast<float>(cfg_get(kv, "iou_threshold", c.iou_threshold));
-        c.min_box_area = static_cast<float>(cfg_get(kv, "min_box_area", c.min_box_area));
-        c.aspect_ratio_thresh =
-            static_cast<float>(cfg_get(kv, "aspect_ratio_thresh", c.aspect_ratio_thresh));
-        c.lambda_iou = static_cast<float>(cfg_get(kv, "lambda_iou", c.lambda_iou));
-        c.lambda_mhd = static_cast<float>(cfg_get(kv, "lambda_mhd", c.lambda_mhd));
-        c.lambda_shape = static_cast<float>(cfg_get(kv, "lambda_shape", c.lambda_shape));
-        c.use_dlo_boost = cfg_get(kv, "use_dlo_boost", 1.0) != 0.0;
-        c.use_duo_boost = cfg_get(kv, "use_duo_boost", 1.0) != 0.0;
-        c.dlo_boost_coef = static_cast<float>(cfg_get(kv, "dlo_boost_coef", c.dlo_boost_coef));
-        c.s_sim_corr = cfg_get(kv, "s_sim_corr", 0.0) != 0.0;
-        c.use_rich_s = cfg_get(kv, "use_rich_s", 0.0) != 0.0;
-        c.use_sb = cfg_get(kv, "use_sb", 0.0) != 0.0;
-        c.use_vt = cfg_get(kv, "use_vt", 0.0) != 0.0;
-        c.capacity = static_cast<int>(cfg_get(kv, "capacity", c.capacity));
+        c.load(parse_config(s));
         return c;
     }
 };
+
+inline void xyhr_to_xyxy(const float* s, float* box) {
+    float h = s[2], r = s[3];
+    float w = r <= 0.0f ? 0.0f : r * h;
+    box[0] = s[0] - w / 2.0f;
+    box[1] = s[1] - h / 2.0f;
+    box[2] = s[0] + w / 2.0f;
+    box[3] = s[1] + h / 2.0f;
+}
+
+inline void xyxy_to_xyhr(const float* b, float* z) {
+    float w = b[2] - b[0];
+    float h = b[3] - b[1];
+    z[0] = b[0] + w / 2.0f;
+    z[1] = b[1] + h / 2.0f;
+    z[2] = h;
+    z[3] = w / (h + 1e-6f);
+}
+
+// MhDist_similarity (assoc.py:37-48): clamp, invert, per-track-column
+// softmax over detections; masked entries excluded and zeroed.
+inline std::vector<float> boost_mh_similarity(const std::vector<float>& md,
+                                              int64_t n, int K,
+                                              const std::vector<char>& det_valid,
+                                              const std::vector<char>& active) {
+    std::vector<float> sim(static_cast<size_t>(n) * static_cast<size_t>(K), 0.0f);
+    for (int i = 0; i < K; ++i) {
+        if (!active[i]) continue;
+        float denom = 0.0f;
+        for (int64_t j = 0; j < n; ++j) {
+            if (!det_valid[static_cast<size_t>(j)]) continue;
+            float m = md[static_cast<size_t>(j) * K + i];
+            float e = std::exp(kMhLimit - std::min(m, kMhLimit));
+            sim[static_cast<size_t>(j) * K + i] = e;
+            denom += e;
+        }
+        denom = std::max(denom, 1e-12f);
+        for (int64_t j = 0; j < n; ++j) {
+            float m = md[static_cast<size_t>(j) * K + i];
+            if (!det_valid[static_cast<size_t>(j)] || m > kMhLimit)
+                sim[static_cast<size_t>(j) * K + i] = 0.0f;
+            else
+                sim[static_cast<size_t>(j) * K + i] /= denom;
+        }
+    }
+    return sim;
+}
+
+inline float boost_shape_sim(bool s_sim_corr, float dw, float dh, const float* tb) {
+    float tw = tb[2] - tb[0], th = tb[3] - tb[1];
+    if (s_sim_corr)
+        return std::exp(-(std::abs(dw - tw) / std::max(dw, tw) +
+                          std::abs(dh - th) / std::max(dh, th)));
+    // v1 quirk: both terms normalized by max(dw, tw) (assoc.py:15-23)
+    return std::exp(-(std::abs(dw - tw) / std::max(dw, tw) +
+                      std::abs(dh - th) / std::max(dw, tw)));
+}
+
+// soft-BIoU (assoc.py:73-110): both boxes buffered by the track conf
+inline float boost_soft_biou(const float* db, const float* tb, float tc) {
+    const float k1 = 0.25f, k2 = 0.5f;
+    float e1w = (db[2] - db[0]) * (1 - tc) * k1;
+    float e1h = (db[3] - db[1]) * (1 - tc) * k1;
+    float e2w = (tb[2] - tb[0]) * (1 - tc) * k2;
+    float e2h = (tb[3] - tb[1]) * (1 - tc) * k2;
+    float a[4] = {db[0] - e1w, db[1] - e1h, db[2] + e1w, db[3] + e1h};
+    float b[4] = {tb[0] - e2w, tb[1] - e2h, tb[2] + e2w, tb[3] + e2h};
+    return iou_xyxy(a, b);
+}
+
+// DLO confidence boost (reference boosttrack.py:491-529)
+inline void boost_dlo(const BoostTrackConfig& cfg, const float* dets, int64_t n,
+                      std::vector<float>& conf, const std::vector<float>& trk_box,
+                      const std::vector<float>& trk_conf,
+                      const std::vector<float>& md,
+                      const std::vector<char>& active,
+                      const std::vector<int32_t>& tsu, int K) {
+    std::vector<float> max_s(static_cast<size_t>(n), 0.0f);
+    std::vector<char> all_valid(static_cast<size_t>(n), 1);
+    std::vector<float> mh_sim;
+    if (cfg.use_rich_s) mh_sim = boost_mh_similarity(md, n, K, all_valid, active);
+    std::vector<float> vt_thr(static_cast<size_t>(K), 0.0f);
+    if (cfg.use_vt)
+        for (int i = 0; i < K; ++i)
+            vt_thr[i] = std::max(0.95f - static_cast<float>(tsu[i] - 1), 0.8f);
+    std::vector<char> vt_hit(static_cast<size_t>(n), 0);
+    for (int64_t j = 0; j < n; ++j) {
+        float dw = dets[j * 6 + 2] - dets[j * 6 + 0];
+        float dh = dets[j * 6 + 3] - dets[j * 6 + 1];
+        for (int i = 0; i < K; ++i) {
+            if (!active[i]) continue;
+            float S;
+            if (cfg.use_rich_s) {
+                S = (mh_sim[static_cast<size_t>(j) * K + i] +
+                     boost_shape_sim(cfg.s_sim_corr, dw, dh, &trk_box[static_cast<size_t>(i) * 4]) +
+                     boost_soft_biou(&dets[j * 6], &trk_box[static_cast<size_t>(i) * 4],
+                                     trk_conf[i])) /
+                    3.0f;
+            } else {
+                S = iou_xyxy(&dets[j * 6], &trk_box[static_cast<size_t>(i) * 4]);
+            }
+            max_s[static_cast<size_t>(j)] = std::max(max_s[static_cast<size_t>(j)], S);
+            if (cfg.use_vt && S > vt_thr[i]) vt_hit[static_cast<size_t>(j)] = 1;
+        }
+    }
+    for (int64_t j = 0; j < n; ++j) {
+        float& c = conf[static_cast<size_t>(j)];
+        if (!cfg.use_sb && !cfg.use_vt) {
+            c = std::max(c, max_s[static_cast<size_t>(j)] * cfg.dlo_boost_coef);
+            continue;
+        }
+        if (cfg.use_sb) {
+            const float alpha = 0.65f;
+            c = std::max(c, alpha * c + (1 - alpha) *
+                                std::pow(max_s[static_cast<size_t>(j)], 1.5f));
+        }
+        if (cfg.use_vt && vt_hit[static_cast<size_t>(j)])
+            c = std::max(c, cfg.det_thresh + 1e-5f);
+    }
+}
+
+// DUO confidence boost: unexplained detections lifted to det_thresh with
+// overlap suppression (reference boosttrack.py:452-489)
+inline void boost_duo(const BoostTrackConfig& cfg, const float* dets, int64_t n,
+                      std::vector<float>& conf, const std::vector<float>& md,
+                      const std::vector<char>& active, int K) {
+    std::vector<char> cand(static_cast<size_t>(n), 0);
+    for (int64_t j = 0; j < n; ++j) {
+        float md_min = std::numeric_limits<float>::infinity();
+        for (int i = 0; i < K; ++i)
+            if (active[i]) md_min = std::min(md_min, md[static_cast<size_t>(j) * K + i]);
+        cand[static_cast<size_t>(j)] =
+            md_min > kMhLimit && conf[static_cast<size_t>(j)] < cfg.det_thresh;
+    }
+    std::vector<float> diou_max(static_cast<size_t>(n), 0.0f);
+    for (int64_t a = 0; a < n; ++a) {
+        if (!cand[static_cast<size_t>(a)]) continue;
+        for (int64_t b = 0; b < n; ++b) {
+            if (a == b || !cand[static_cast<size_t>(b)]) continue;
+            diou_max[static_cast<size_t>(a)] = std::max(
+                diou_max[static_cast<size_t>(a)], iou_xyxy(&dets[a * 6], &dets[b * 6]));
+        }
+    }
+    for (int64_t a = 0; a < n; ++a) {
+        if (!cand[static_cast<size_t>(a)]) continue;
+        bool boost;
+        if (diou_max[static_cast<size_t>(a)] <= 0.3f) {
+            boost = true;  // isolated
+        } else {
+            float local_max = conf[static_cast<size_t>(a)];
+            for (int64_t b = 0; b < n; ++b) {
+                if (b == a || !cand[static_cast<size_t>(b)]) continue;
+                if (diou_max[static_cast<size_t>(b)] <= 0.3f) continue;
+                if (iou_xyxy(&dets[a * 6], &dets[b * 6]) > 0.3f)
+                    local_max = std::max(local_max, conf[static_cast<size_t>(b)]);
+            }
+            boost = conf[static_cast<size_t>(a)] >= local_max;
+        }
+        if (boost) conf[static_cast<size_t>(a)] = cfg.det_thresh + 1e-4f;
+    }
+}
+
+// Build the multi-cue cost matrix (K, D) (assoc.py:156-203, reid term
+// omitted — motion-only cores).
+inline std::vector<double> boost_cost_kd(const BoostTrackConfig& cfg,
+                                         const float* dets, int64_t n, int K,
+                                         const std::vector<float>& iou_dk,
+                                         const std::vector<float>& mh_sim,
+                                         const std::vector<float>& conf,
+                                         const std::vector<float>& trk_conf,
+                                         const std::vector<float>& trk_box) {
+    std::vector<double> cost_kd(static_cast<size_t>(K) * static_cast<size_t>(n), 0.0);
+    for (int64_t j = 0; j < n; ++j) {
+        float dw = dets[j * 6 + 2] - dets[j * 6 + 0];
+        float dh = dets[j * 6 + 3] - dets[j * 6 + 1];
+        for (int i = 0; i < K; ++i) {
+            float iou = iou_dk[static_cast<size_t>(j) * K + i];
+            float conf_dk = conf[static_cast<size_t>(j)] * trk_conf[i];
+            if (iou < cfg.iou_threshold) conf_dk = 0.0f;
+            float c = iou + cfg.lambda_iou * conf_dk * iou +
+                      cfg.lambda_mhd * mh_sim[static_cast<size_t>(j) * K + i] +
+                      cfg.lambda_shape * conf_dk *
+                          boost_shape_sim(cfg.s_sim_corr, dw, dh,
+                                          &trk_box[static_cast<size_t>(i) * 4]);
+            cost_kd[static_cast<size_t>(i) * n + j] = c;
+        }
+    }
+    return cost_kd;
+}
+
+// match() (assoc.py:113-120): unique-candidate shortcut on the combined
+// cost at threshold, else full lapjv on -cost.
+inline std::vector<int32_t> boost_match(float iou_threshold,
+                                        const std::vector<double>& cost_kd,
+                                        int64_t n, int K,
+                                        const std::vector<char>& rows,
+                                        const std::vector<char>& cols) {
+    std::vector<int> row_cnt(static_cast<size_t>(K), 0), col_cnt(static_cast<size_t>(n), 0);
+    std::vector<int32_t> row_cand(static_cast<size_t>(K), -1);
+    for (int i = 0; i < K; ++i) {
+        if (!rows[i]) continue;
+        for (int64_t j = 0; j < n; ++j) {
+            if (!cols[static_cast<size_t>(j)]) continue;
+            if (cost_kd[static_cast<size_t>(i) * n + j] > iou_threshold) {
+                row_cnt[i] += 1;
+                col_cnt[static_cast<size_t>(j)] += 1;
+                row_cand[i] = static_cast<int32_t>(j);
+            }
+        }
+    }
+    int max_row = 0, max_col = 0;
+    for (int i = 0; i < K; ++i) max_row = std::max(max_row, row_cnt[i]);
+    for (int64_t j = 0; j < n; ++j) max_col = std::max(max_col, col_cnt[static_cast<size_t>(j)]);
+    if (max_row == 1 && max_col == 1) {
+        std::vector<int32_t> result(static_cast<size_t>(K), -1);
+        for (int i = 0; i < K; ++i)
+            if (row_cnt[i] == 1) result[i] = row_cand[i];
+        return result;
+    }
+    std::vector<double> neg(cost_kd.size());
+    for (size_t idx = 0; idx < neg.size(); ++idx) neg[idx] = -cost_kd[idx];
+    return full_assignment(neg, K, n, rows, cols);
+}
+
+// Diagonal-normalized Mahalanobis distance (D, K)
+// (reference boosttrack.py:437-450)
+inline std::vector<float> boost_mh_distance(const float* det_z, int64_t n, int K,
+                                            int DX, const std::vector<float>& mean,
+                                            const std::vector<float>& cov,
+                                            const std::vector<char>& active) {
+    std::vector<float> md(static_cast<size_t>(n) * static_cast<size_t>(K),
+                          std::numeric_limits<float>::infinity());
+    for (int i = 0; i < K; ++i) {
+        if (!active[i]) continue;
+        const float* m = &mean[static_cast<size_t>(i) * DX];
+        const float* P = &cov[static_cast<size_t>(i) * DX * DX];
+        float sinv[4];
+        for (int d = 0; d < 4; ++d) sinv[d] = 1.0f / std::max(P[d * DX + d], 1e-12f);
+        for (int64_t j = 0; j < n; ++j) {
+            const float* z = &det_z[static_cast<size_t>(j) * 4];
+            float s = 0.0f;
+            for (int d = 0; d < 4; ++d) {
+                float diff = z[d] - m[d];
+                s += diff * diff * sinv[d];
+            }
+            md[static_cast<size_t>(j) * K + i] = s;
+        }
+    }
+    return md;
+}
+
+// get_confidence (reference boosttrack.py:113-117)
+inline float boost_track_confidence(int32_t age, int32_t tsu) {
+    return age < 7 ? std::pow(0.9f, static_cast<float>(7 - age))
+                   : std::pow(0.9f, static_cast<float>(tsu - 1));
+}
 
 class BoostTrackCore {
   public:
@@ -111,9 +372,7 @@ class BoostTrackCore {
         for (int i = 0; i < K; ++i) {
             if (!active_[i]) continue;
             any_track = true;
-            // get_confidence (reference boosttrack.py:113-117)
-            trk_conf[i] = age_[i] < 7 ? std::pow(0.9f, static_cast<float>(7 - age_[i]))
-                                      : std::pow(0.9f, static_cast<float>(tsu_[i] - 1));
+            trk_conf[i] = boost_track_confidence(age_[i], tsu_[i]);
             xyhr_to_xyxy(&mean_[static_cast<size_t>(i) * DX], &trk_box[static_cast<size_t>(i) * 4]);
         }
 
@@ -124,31 +383,13 @@ class BoostTrackCore {
             xyxy_to_xyhr(&dets[j * 6], &det_z[static_cast<size_t>(j) * 4]);
         }
 
-        // --- diagonal-normalized Mahalanobis distance (D, K)
-        // (reference boosttrack.py:437-450)
-        std::vector<float> md(static_cast<size_t>(n) * static_cast<size_t>(K),
-                              std::numeric_limits<float>::infinity());
-        for (int i = 0; i < K; ++i) {
-            if (!active_[i]) continue;
-            const float* m = &mean_[static_cast<size_t>(i) * DX];
-            const float* P = &cov_[static_cast<size_t>(i) * DX * DX];
-            float sinv[4];
-            for (int d = 0; d < 4; ++d)
-                sinv[d] = 1.0f / std::max(P[d * DX + d], 1e-12f);
-            for (int64_t j = 0; j < n; ++j) {
-                const float* z = &det_z[static_cast<size_t>(j) * 4];
-                float s = 0.0f;
-                for (int d = 0; d < 4; ++d) {
-                    float diff = z[d] - m[d];
-                    s += diff * diff * sinv[d];
-                }
-                md[static_cast<size_t>(j) * K + i] = s;
-            }
-        }
+        std::vector<float> md =
+            boost_mh_distance(det_z.data(), n, K, DX, mean_, cov_, active_);
 
-        // --- DLO / DUO confidence boosting (reference boosttrack.py:452-529)
-        if (cfg_.use_dlo_boost) dlo_boost(dets, n, conf, trk_box, trk_conf, md);
-        if (cfg_.use_duo_boost && any_track) duo_boost(dets, n, conf, md);
+        if (cfg_.use_dlo_boost)
+            boost_dlo(cfg_, dets, n, conf, trk_box, trk_conf, md, active_, tsu_, K);
+        if (cfg_.use_duo_boost && any_track)
+            boost_duo(cfg_, dets, n, conf, md, active_, K);
 
         std::vector<char> first(static_cast<size_t>(n), 0);
         for (int64_t j = 0; j < n; ++j)
@@ -163,35 +404,17 @@ class BoostTrackCore {
                     iou_dk[static_cast<size_t>(j) * K + i] =
                         iou_xyxy(&dets[j * 6], &trk_box[static_cast<size_t>(i) * 4]);
         }
-        std::vector<float> mh_sim = mh_similarity(md, n, first);
-        std::vector<double> cost_kd(static_cast<size_t>(K) * static_cast<size_t>(n), 0.0);
-        for (int64_t j = 0; j < n; ++j) {
-            float dw = dets[j * 6 + 2] - dets[j * 6 + 0];
-            float dh = dets[j * 6 + 3] - dets[j * 6 + 1];
-            for (int i = 0; i < K; ++i) {
-                float iou = iou_dk[static_cast<size_t>(j) * K + i];
-                float conf_dk = conf[static_cast<size_t>(j)] * trk_conf[i];
-                if (iou < cfg_.iou_threshold) conf_dk = 0.0f;
-                float c = iou + cfg_.lambda_iou * conf_dk * iou +
-                          cfg_.lambda_mhd * mh_sim[static_cast<size_t>(j) * K + i] +
-                          cfg_.lambda_shape * conf_dk *
-                              shape_sim(dw, dh, &trk_box[static_cast<size_t>(i) * 4]);
-                cost_kd[static_cast<size_t>(i) * n + j] = c;
-            }
-        }
+        std::vector<float> mh_sim = boost_mh_similarity(md, n, K, first, active_);
+        std::vector<double> cost_kd =
+            boost_cost_kd(cfg_, dets, n, K, iou_dk, mh_sim, conf, trk_conf, trk_box);
 
-        // --- match() (assoc.py:113-120): unique-candidate shortcut on the
-        // combined cost at threshold, else full lapjv on -cost
-        std::vector<char> active_mask(active_);
-        std::vector<int32_t> r2c = match_cost(cost_kd, n, active_mask, first);
-        std::vector<char> matched(static_cast<size_t>(K), 0), dm(static_cast<size_t>(n), 0);
-        std::vector<char> inv_det(static_cast<size_t>(n), 0);
+        std::vector<int32_t> r2c =
+            boost_match(cfg_.iou_threshold, cost_kd, n, K, active_, first);
+        std::vector<char> dm(static_cast<size_t>(n), 0), inv_det(static_cast<size_t>(n), 0);
         for (int i = 0; i < K; ++i) {
             int32_t j = r2c[i];
             if (j < 0) continue;
-            // validity gate: iou >= threshold (reid disabled in this core)
             if (iou_dk[static_cast<size_t>(j) * K + i] >= cfg_.iou_threshold) {
-                matched[i] = 1;
                 dm[static_cast<size_t>(j)] = 1;
             } else {
                 inv_det[static_cast<size_t>(j)] = 1;  // invalidated assignment
@@ -223,6 +446,8 @@ class BoostTrackCore {
             if (first[static_cast<size_t>(j)] && !dm[static_cast<size_t>(j)] && inv_det[static_cast<size_t>(j)])
                 order.push_back(static_cast<int32_t>(j));
         int free_cursor = 0;
+        const int32_t base_id = next_id_;
+        int32_t assigned = 0;
         for (int32_t j : order) {
             while (free_cursor < K && active_[free_cursor]) ++free_cursor;
             if (free_cursor >= K) break;
@@ -231,7 +456,7 @@ class BoostTrackCore {
                          &mean_[static_cast<size_t>(i) * DX],
                          &cov_[static_cast<size_t>(i) * DX * DX]);
             active_[i] = 1;
-            tid_[i] = next_id_++;
+            tid_[i] = base_id + assigned++;
             conf_[i] = conf[static_cast<size_t>(j)];
             cls_[i] = dets[static_cast<int64_t>(j) * 6 + 5];
             det_ind_[i] = static_cast<float>(j);
@@ -239,6 +464,9 @@ class BoostTrackCore {
             tsu_[i] = 0;
             hit_streak_[i] = 0;
         }
+        // next_id advances by the full new-det count even when slot
+        // capacity truncates (boosttrack_step n_new)
+        next_id_ = base_id + static_cast<int32_t>(order.size());
 
         // --- output (pre-removal active set), then removal
         int64_t m_out = 0;
@@ -267,198 +495,6 @@ class BoostTrackCore {
     int capacity() const { return cfg_.capacity; }
 
   private:
-    // MhDist_similarity (assoc.py:37-48): clamp, invert, per-track-column
-    // softmax over detections; masked entries excluded and zeroed.
-    std::vector<float> mh_similarity(const std::vector<float>& md, int64_t n,
-                                     const std::vector<char>& det_valid) const {
-        const int K = cfg_.capacity;
-        std::vector<float> sim(static_cast<size_t>(n) * static_cast<size_t>(K), 0.0f);
-        for (int i = 0; i < K; ++i) {
-            if (!active_[i]) continue;
-            float denom = 0.0f;
-            for (int64_t j = 0; j < n; ++j) {
-                if (!det_valid[static_cast<size_t>(j)]) continue;
-                float m = md[static_cast<size_t>(j) * K + i];
-                float e = std::exp(kMhLimit - std::min(m, kMhLimit));
-                sim[static_cast<size_t>(j) * K + i] = e;
-                denom += e;
-            }
-            denom = std::max(denom, 1e-12f);
-            for (int64_t j = 0; j < n; ++j) {
-                float m = md[static_cast<size_t>(j) * K + i];
-                if (!det_valid[static_cast<size_t>(j)] || m > kMhLimit)
-                    sim[static_cast<size_t>(j) * K + i] = 0.0f;
-                else
-                    sim[static_cast<size_t>(j) * K + i] /= denom;
-            }
-        }
-        return sim;
-    }
-
-    float shape_sim(float dw, float dh, const float* tb) const {
-        float tw = tb[2] - tb[0], th = tb[3] - tb[1];
-        if (cfg_.s_sim_corr)
-            return std::exp(-(std::abs(dw - tw) / std::max(dw, tw) +
-                              std::abs(dh - th) / std::max(dh, th)));
-        // v1 quirk: both terms normalized by max(dw, tw) (assoc.py:15-23)
-        return std::exp(-(std::abs(dw - tw) / std::max(dw, tw) +
-                          std::abs(dh - th) / std::max(dw, tw)));
-    }
-
-    // soft-BIoU (assoc.py:73-110): both boxes buffered by the track conf
-    static float soft_biou_pair(const float* db, const float* tb, float tc) {
-        const float k1 = 0.25f, k2 = 0.5f;
-        float e1w = (db[2] - db[0]) * (1 - tc) * k1;
-        float e1h = (db[3] - db[1]) * (1 - tc) * k1;
-        float e2w = (tb[2] - tb[0]) * (1 - tc) * k2;
-        float e2h = (tb[3] - tb[1]) * (1 - tc) * k2;
-        float a[4] = {db[0] - e1w, db[1] - e1h, db[2] + e1w, db[3] + e1h};
-        float b[4] = {tb[0] - e2w, tb[1] - e2h, tb[2] + e2w, tb[3] + e2h};
-        return iou_xyxy(a, b);
-    }
-
-    void dlo_boost(const float* dets, int64_t n, std::vector<float>& conf,
-                   const std::vector<float>& trk_box,
-                   const std::vector<float>& trk_conf,
-                   const std::vector<float>& md) const {
-        const int K = cfg_.capacity;
-        std::vector<float> max_s(static_cast<size_t>(n), 0.0f);
-        std::vector<char> all_valid(static_cast<size_t>(n), 1);
-        std::vector<float> mh_sim;
-        if (cfg_.use_rich_s) mh_sim = mh_similarity(md, n, all_valid);
-        std::vector<float> vt_thr(static_cast<size_t>(K), 0.0f);
-        if (cfg_.use_vt)
-            for (int i = 0; i < K; ++i)
-                vt_thr[i] = std::max(0.95f - static_cast<float>(tsu_[i] - 1), 0.8f);
-        std::vector<char> vt_hit(static_cast<size_t>(n), 0);
-        for (int64_t j = 0; j < n; ++j) {
-            float dw = dets[j * 6 + 2] - dets[j * 6 + 0];
-            float dh = dets[j * 6 + 3] - dets[j * 6 + 1];
-            for (int i = 0; i < K; ++i) {
-                if (!active_[i]) continue;
-                float S;
-                if (cfg_.use_rich_s) {
-                    S = (mh_sim[static_cast<size_t>(j) * K + i] +
-                         shape_sim(dw, dh, &trk_box[static_cast<size_t>(i) * 4]) +
-                         soft_biou_pair(&dets[j * 6], &trk_box[static_cast<size_t>(i) * 4],
-                                        trk_conf[i])) /
-                        3.0f;
-                } else {
-                    S = iou_xyxy(&dets[j * 6], &trk_box[static_cast<size_t>(i) * 4]);
-                }
-                max_s[static_cast<size_t>(j)] = std::max(max_s[static_cast<size_t>(j)], S);
-                if (cfg_.use_vt && S > vt_thr[i]) vt_hit[static_cast<size_t>(j)] = 1;
-            }
-        }
-        for (int64_t j = 0; j < n; ++j) {
-            float& c = conf[static_cast<size_t>(j)];
-            if (!cfg_.use_sb && !cfg_.use_vt) {
-                c = std::max(c, max_s[static_cast<size_t>(j)] * cfg_.dlo_boost_coef);
-                continue;
-            }
-            if (cfg_.use_sb) {
-                const float alpha = 0.65f;
-                c = std::max(c, alpha * c + (1 - alpha) *
-                                    std::pow(max_s[static_cast<size_t>(j)], 1.5f));
-            }
-            if (cfg_.use_vt && vt_hit[static_cast<size_t>(j)])
-                c = std::max(c, cfg_.det_thresh + 1e-5f);
-        }
-    }
-
-    void duo_boost(const float* dets, int64_t n, std::vector<float>& conf,
-                   const std::vector<float>& md) const {
-        const int K = cfg_.capacity;
-        // unexplained detections (boosttrack.py:452-489)
-        std::vector<char> cand(static_cast<size_t>(n), 0);
-        for (int64_t j = 0; j < n; ++j) {
-            float md_min = std::numeric_limits<float>::infinity();
-            for (int i = 0; i < K; ++i)
-                if (active_[i]) md_min = std::min(md_min, md[static_cast<size_t>(j) * K + i]);
-            cand[static_cast<size_t>(j)] =
-                md_min > kMhLimit && conf[static_cast<size_t>(j)] < cfg_.det_thresh;
-        }
-        // overlap suppression among candidates keeps the most confident
-        std::vector<float> diou_max(static_cast<size_t>(n), 0.0f);
-        for (int64_t a = 0; a < n; ++a) {
-            if (!cand[static_cast<size_t>(a)]) continue;
-            for (int64_t b = 0; b < n; ++b) {
-                if (a == b || !cand[static_cast<size_t>(b)]) continue;
-                diou_max[static_cast<size_t>(a)] = std::max(
-                    diou_max[static_cast<size_t>(a)], iou_xyxy(&dets[a * 6], &dets[b * 6]));
-            }
-        }
-        for (int64_t a = 0; a < n; ++a) {
-            if (!cand[static_cast<size_t>(a)]) continue;
-            bool boost;
-            if (diou_max[static_cast<size_t>(a)] <= 0.3f) {
-                boost = true;  // isolated
-            } else {
-                // winner among overlapping peers (incl. self)
-                float local_max = conf[static_cast<size_t>(a)];
-                for (int64_t b = 0; b < n; ++b) {
-                    if (b == a || !cand[static_cast<size_t>(b)]) continue;
-                    if (diou_max[static_cast<size_t>(b)] <= 0.3f) continue;
-                    if (iou_xyxy(&dets[a * 6], &dets[b * 6]) > 0.3f)
-                        local_max = std::max(local_max, conf[static_cast<size_t>(b)]);
-                }
-                boost = conf[static_cast<size_t>(a)] >= local_max;
-            }
-            if (boost) conf[static_cast<size_t>(a)] = cfg_.det_thresh + 1e-4f;
-        }
-    }
-
-    // match() shortcut + full assignment (mirrors _unique_shortcut +
-    // _full_assignment usage in boosttrack_step)
-    std::vector<int32_t> match_cost(const std::vector<double>& cost_kd, int64_t n,
-                                    const std::vector<char>& rows,
-                                    const std::vector<char>& cols) const {
-        const int K = cfg_.capacity;
-        std::vector<int> row_cnt(static_cast<size_t>(K), 0), col_cnt(static_cast<size_t>(n), 0);
-        std::vector<int32_t> row_cand(static_cast<size_t>(K), -1);
-        for (int i = 0; i < K; ++i) {
-            if (!rows[i]) continue;
-            for (int64_t j = 0; j < n; ++j) {
-                if (!cols[static_cast<size_t>(j)]) continue;
-                if (cost_kd[static_cast<size_t>(i) * n + j] > cfg_.iou_threshold) {
-                    row_cnt[i] += 1;
-                    col_cnt[static_cast<size_t>(j)] += 1;
-                    row_cand[i] = static_cast<int32_t>(j);
-                }
-            }
-        }
-        int max_row = 0, max_col = 0;
-        for (int i = 0; i < K; ++i) max_row = std::max(max_row, row_cnt[i]);
-        for (int64_t j = 0; j < n; ++j) max_col = std::max(max_col, col_cnt[static_cast<size_t>(j)]);
-        if (max_row == 1 && max_col == 1) {
-            std::vector<int32_t> result(static_cast<size_t>(K), -1);
-            for (int i = 0; i < K; ++i)
-                if (row_cnt[i] == 1) result[i] = row_cand[i];
-            return result;
-        }
-        std::vector<double> neg(cost_kd.size());
-        for (size_t idx = 0; idx < neg.size(); ++idx) neg[idx] = -cost_kd[idx];
-        return full_assignment(neg, K, n, rows, cols);
-    }
-
-    static void xyhr_to_xyxy(const float* s, float* box) {
-        float h = s[2], r = s[3];
-        float w = r <= 0.0f ? 0.0f : r * h;
-        box[0] = s[0] - w / 2.0f;
-        box[1] = s[1] - h / 2.0f;
-        box[2] = s[0] + w / 2.0f;
-        box[3] = s[1] + h / 2.0f;
-    }
-
-    static void xyxy_to_xyhr(const float* b, float* z) {
-        float w = b[2] - b[0];
-        float h = b[3] - b[1];
-        z[0] = b[0] + w / 2.0f;
-        z[1] = b[1] + h / 2.0f;
-        z[2] = h;
-        z[3] = w / (h + 1e-6f);
-    }
-
     BoostTrackConfig cfg_;
     KalmanBank<XyhrLayout> kf_{XyhrLayout()};
     std::vector<float> mean_, cov_, conf_, cls_, det_ind_;

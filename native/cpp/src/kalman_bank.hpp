@@ -101,7 +101,11 @@ struct KalmanBank {
     }
 
     // Joseph-form update (kalman.update); conf feeds NSA when enabled.
-    void update(float* mean, float* cov, const float* z, float conf = 0.0f) const {
+    // gain_scale scales the MEAN update only (OccluTrack abnormal-motion
+    // suppression — the covariance still contracts normally, matching
+    // kalman.update's gain_scale parameter).
+    void update(float* mean, float* cov, const float* z, float conf = 0.0f,
+                float gain_scale = 1.0f) const {
         float r_std[DZ];
         layout.meas_std(mean, r_std);
         if (layout.nsa()) {
@@ -131,7 +135,7 @@ struct KalmanBank {
         for (int a = 0; a < DX; ++a) {
             float s = 0.0f;
             for (int zc = 0; zc < DZ; ++zc) s += innov[zc] * gain[a][zc];
-            mean[a] += s;
+            mean[a] += s * gain_scale;
         }
 
         // Joseph: P = A P A^T + gain diag(r_var) gain^T, A = I - [gain 0].

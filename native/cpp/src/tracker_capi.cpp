@@ -14,6 +14,7 @@
 
 #include "boosttrack_bank.hpp"
 #include "bytetrack_bank.hpp"
+#include "occluboost_bank.hpp"
 #include "ocsort_bank.hpp"
 #include "sfsort_bank.hpp"
 
@@ -80,6 +81,14 @@ void* bmt_tracker_create(const char* name, const char* config) {
             return nullptr;
         }
         return new HandleImpl<boxmot::SFSortCore>(boxmot::SFSortCore(cfg));
+    }
+    if (n == "occluboost") {
+        auto cfg = boxmot::OccluBoostConfig::from_string(config);
+        if (cfg.boost.capacity <= 0 || cfg.boost.capacity > (1 << 16)) {
+            g_tracker_error = "bad capacity";
+            return nullptr;
+        }
+        return new HandleImpl<boxmot::OccluBoostCore>(boxmot::OccluBoostCore(cfg));
     }
     g_tracker_error = "unknown native tracker: " + n;
     return nullptr;

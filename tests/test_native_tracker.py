@@ -240,6 +240,61 @@ class TestParityVsDevice:
             assert out_j.shape[0] == out_c.shape[0], f"frame {f}"
             assert {int(r[4]) for r in out_j} == {int(r[4]) for r in out_c}
 
+    @pytest.mark.parametrize("seed", [0, 1, 4])
+    def test_occluboost_scene_parity(self, seed):
+        """Motion-only OccluBoost (flagship): cpp core vs device program."""
+        from boxmot_tpu.trackers.occluboost import OccluBoost
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        frames = moving_scene(n_frames=40, n_obj=6, seed=seed, low_conf_p=0.35)
+        jax_trk = create_tracker("occluboost", use_cmc=False)
+        assert isinstance(jax_trk, OccluBoost) and not jax_trk.with_reid
+        cpp_trk = create_tracker("occluboost:cpp")
+        for f, dets in enumerate(frames):
+            out_j = np.asarray(jax_trk.update(dets, IMG))
+            out_c = np.asarray(cpp_trk.update(dets, IMG))
+            assert out_j.shape[0] == out_c.shape[0], f"frame {f}: row count"
+            ids_j = {int(r[4]): r for r in out_j}
+            ids_c = {int(r[4]): r for r in out_c}
+            assert set(ids_j) == set(ids_c), f"frame {f}: track ids"
+            for tid, rj in ids_j.items():
+                rc = ids_c[tid]
+                np.testing.assert_allclose(
+                    rc[:4], rj[:4], atol=0.5, err_msg=f"frame {f} id {tid} box"
+                )
+                assert rc[7] == rj[7]
+
+    def test_occluboost_second_pass_parity(self):
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        kw = dict(use_second_pass=True, second_pass_min_hits=2)
+        frames = moving_scene(n_frames=30, n_obj=5, seed=2, low_conf_p=0.45)
+        jax_trk = create_tracker("occluboost", use_cmc=False, **kw)
+        cpp_trk = create_tracker("occluboost:cpp", **kw)
+        for f, dets in enumerate(frames):
+            out_j = np.asarray(jax_trk.update(dets, IMG))
+            out_c = np.asarray(cpp_trk.update(dets, IMG))
+            assert out_j.shape[0] == out_c.shape[0], f"frame {f}"
+            assert {int(r[4]) for r in out_j} == {int(r[4]) for r in out_c}
+
+    def test_occluboost_confirmation_states(self):
+        """Tentative tracks need confirm_hits matches before emission."""
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        kw = dict(instant_confirm_thresh=0.95, confirm_hits=2)
+        jax_trk = create_tracker("occluboost", use_cmc=False, **kw)
+        cpp_trk = create_tracker("occluboost:cpp", **kw)
+        # conf 0.65 < instant_confirm 0.95: born tentative, no frame-1 emit
+        dets = np.array([[10, 10, 60, 110, 0.65, 0]], np.float32)
+        emitted = []
+        for f in range(4):
+            out_j = np.asarray(jax_trk.update(dets, IMG))
+            out_c = np.asarray(cpp_trk.update(dets, IMG))
+            assert out_j.shape[0] == out_c.shape[0], f"frame {f}"
+            emitted.append(out_c.shape[0])
+        assert emitted[0] == 0  # tentative on birth
+        assert emitted[-1] == 1  # confirmed after repeated hits
+
     def test_boosttrack_reid_rejected(self):
         from boxmot_tpu.native.trackers import NativeTracker
 
