@@ -65,6 +65,20 @@ _NATIVE_KEYS = {
         "q_s_scaling",
         "capacity",
     ),
+    "botsort": (
+        "track_high_thresh",
+        "track_low_thresh",
+        "new_track_thresh",
+        "match_thresh",
+        "second_match_thresh",
+        "unconfirmed_match_thresh",
+        "fuse_first_associate",
+        "max_time_lost",
+        "nr_classes",
+        "std_weight_position",
+        "std_weight_velocity",
+        "capacity",
+    ),
     "sfsort": (
         "high_th",
         "match_th_first",

@@ -1,0 +1,313 @@
+// BoT-SORT as a fixed-capacity slot bank on the CPU.
+//
+// Step-for-step mirror of the device program in
+// boxmot_tpu/trackers/botsort.py (botsort_step) in its motion-only
+// configuration (with_reid=False, identity camera warp): the ByteTrack
+// two-stage skeleton on the XYWH Kalman filter with BotSort's
+// thresholds, the unconfirmed pass, confidence-weighted class voting,
+// and tracked/lost duplicate suppression.  The appearance-fusion and
+// CMC terms are gated on with_reid / the warp input in the device
+// program and therefore absent here by the same semantics.  Reference:
+// boxmot/trackers/bbox/botsort/botsort.py:20-500, botsort_track.py.
+
+#ifndef BOXMOT_BOTSORT_BANK_HPP
+#define BOXMOT_BOTSORT_BANK_HPP
+
+#include <algorithm>
+#include <cstdint>
+#include <vector>
+
+#include "kalman_bank.hpp"
+#include "slot_common.hpp"
+
+namespace boxmot {
+
+struct BotSortConfig {
+    float track_high_thresh = 0.5f;
+    float track_low_thresh = 0.1f;
+    float new_track_thresh = 0.6f;
+    float match_thresh = 0.8f;
+    float second_match_thresh = 0.5f;
+    float unconfirmed_match_thresh = 0.7f;
+    bool fuse_first_associate = false;
+    int max_time_lost = 30;
+    int nr_classes = 80;
+    float std_weight_position = 1.0f / 20.0f;
+    float std_weight_velocity = 1.0f / 160.0f;
+    int capacity = 256;
+
+    static BotSortConfig from_string(const char* s) {
+        auto kv = parse_config(s);
+        BotSortConfig c;
+        c.track_high_thresh =
+            static_cast<float>(cfg_get(kv, "track_high_thresh", c.track_high_thresh));
+        c.track_low_thresh =
+            static_cast<float>(cfg_get(kv, "track_low_thresh", c.track_low_thresh));
+        c.new_track_thresh =
+            static_cast<float>(cfg_get(kv, "new_track_thresh", c.new_track_thresh));
+        c.match_thresh = static_cast<float>(cfg_get(kv, "match_thresh", c.match_thresh));
+        c.second_match_thresh =
+            static_cast<float>(cfg_get(kv, "second_match_thresh", c.second_match_thresh));
+        c.unconfirmed_match_thresh = static_cast<float>(
+            cfg_get(kv, "unconfirmed_match_thresh", c.unconfirmed_match_thresh));
+        c.fuse_first_associate = cfg_get(kv, "fuse_first_associate", 0.0) != 0.0;
+        c.max_time_lost = static_cast<int>(cfg_get(kv, "max_time_lost", c.max_time_lost));
+        c.nr_classes = std::max(static_cast<int>(cfg_get(kv, "nr_classes", c.nr_classes)), 1);
+        c.std_weight_position =
+            static_cast<float>(cfg_get(kv, "std_weight_position", c.std_weight_position));
+        c.std_weight_velocity =
+            static_cast<float>(cfg_get(kv, "std_weight_velocity", c.std_weight_velocity));
+        c.capacity = static_cast<int>(cfg_get(kv, "capacity", c.capacity));
+        return c;
+    }
+};
+
+class BotSortCore {
+  public:
+    static constexpr int DX = 8;
+    enum Status : int32_t { kEmpty = 0, kTracked = 1, kLost = 2 };
+
+    explicit BotSortCore(const BotSortConfig& cfg) : cfg_(cfg) {
+        XywhLayout layout;
+        layout.swp = cfg.std_weight_position;
+        layout.swv = cfg.std_weight_velocity;
+        kf_ = KalmanBank<XywhLayout>(layout);
+        reset();
+    }
+
+    void reset() {
+        const size_t K = static_cast<size_t>(cfg_.capacity);
+        const size_t NC = static_cast<size_t>(cfg_.nr_classes);
+        mean_.assign(K * DX, 0.0f);
+        cov_.assign(K * DX * DX, 0.0f);
+        status_.assign(K, kEmpty);
+        activated_.assign(K, 0);
+        tid_.assign(K, 0);
+        conf_.assign(K, 0.0f);
+        cls_.assign(K, 0.0f);
+        det_ind_.assign(K, 0.0f);
+        frame_id_.assign(K, 0);
+        start_frame_.assign(K, 0);
+        tracklet_len_.assign(K, 0);
+        cls_scores_.assign(K * NC, 0.0f);
+        cls_seen_.assign(K * NC, 0);
+        frame_count_ = 0;
+        next_id_ = 1;
+    }
+
+    int64_t step(const float* dets, int64_t n, float* out) {
+        const int K = cfg_.capacity;
+        const int32_t frame = ++frame_count_;
+
+        std::vector<char> first(static_cast<size_t>(n), 0), second(static_cast<size_t>(n), 0);
+        for (int64_t j = 0; j < n; ++j) {
+            float c = dets[j * 6 + 4];
+            first[static_cast<size_t>(j)] = c > cfg_.track_high_thresh;
+            second[static_cast<size_t>(j)] =
+                (c > cfg_.track_low_thresh) && (c < cfg_.track_high_thresh);
+        }
+
+        std::vector<char> pool(static_cast<size_t>(K), 0), unconf(static_cast<size_t>(K), 0);
+        for (int i = 0; i < K; ++i) {
+            bool tracked_act = status_[i] == kTracked && activated_[i];
+            bool lost = status_[i] == kLost;
+            pool[i] = tracked_act || lost;
+            unconf[i] = status_[i] == kTracked && !activated_[i];
+            if (lost) {
+                // lost tracks: size velocities zeroed before predict
+                // (botsort_track.py:84-110)
+                mean_[static_cast<size_t>(i) * DX + 6] = 0.0f;
+                mean_[static_cast<size_t>(i) * DX + 7] = 0.0f;
+            }
+        }
+        for (int i = 0; i < K; ++i) {
+            if (!pool[i]) continue;
+            kf_.predict(&mean_[static_cast<size_t>(i) * DX],
+                        &cov_[static_cast<size_t>(i) * DX * DX]);
+        }
+
+        // one shared IoU matrix over predicted track boxes
+        std::vector<float> trk_xyxy(static_cast<size_t>(K) * 4);
+        for (int i = 0; i < K; ++i)
+            xywh_to_xyxy(&mean_[static_cast<size_t>(i) * DX], &trk_xyxy[static_cast<size_t>(i) * 4]);
+        std::vector<float> iou(static_cast<size_t>(K) * static_cast<size_t>(n), 0.0f);
+        for (int i = 0; i < K; ++i) {
+            if (!pool[i] && !unconf[i]) continue;
+            for (int64_t j = 0; j < n; ++j)
+                iou[static_cast<size_t>(i) * n + j] =
+                    iou_xyxy(&trk_xyxy[static_cast<size_t>(i) * 4], &dets[j * 6]);
+        }
+
+        // --- pass 1: pool vs high-conf dets
+        std::vector<double> cost1(static_cast<size_t>(K) * static_cast<size_t>(n));
+        for (int i = 0; i < K; ++i)
+            for (int64_t j = 0; j < n; ++j) {
+                double v = iou[static_cast<size_t>(i) * n + j];
+                cost1[static_cast<size_t>(i) * n + j] =
+                    cfg_.fuse_first_associate ? 1.0 - v * dets[j * 6 + 4] : 1.0 - v;
+            }
+        std::vector<int32_t> r2c1 =
+            masked_assignment(cost1, K, n, pool, first, cfg_.match_thresh);
+        std::vector<char> det_taken(static_cast<size_t>(n), 0);
+        for (int i = 0; i < K; ++i)
+            if (r2c1[i] >= 0) det_taken[static_cast<size_t>(r2c1[i])] = 1;
+
+        // --- pass 2: low-conf dets vs unmatched TRACKED slots, IoU only
+        std::vector<char> r_tracked(static_cast<size_t>(K), 0);
+        for (int i = 0; i < K; ++i)
+            r_tracked[i] = pool[i] && r2c1[i] < 0 && status_[i] == kTracked;
+        std::vector<double> cost2(static_cast<size_t>(K) * static_cast<size_t>(n));
+        for (size_t idx = 0; idx < cost2.size(); ++idx)
+            cost2[idx] = 1.0 - static_cast<double>(iou[idx]);
+        std::vector<int32_t> r2c2 =
+            masked_assignment(cost2, K, n, r_tracked, second, cfg_.second_match_thresh);
+
+        // --- unconfirmed pass: fuse_score cost
+        std::vector<char> u_first(static_cast<size_t>(n), 0);
+        for (int64_t j = 0; j < n; ++j)
+            u_first[static_cast<size_t>(j)] =
+                first[static_cast<size_t>(j)] && !det_taken[static_cast<size_t>(j)];
+        std::vector<double> cost3(static_cast<size_t>(K) * static_cast<size_t>(n));
+        for (int i = 0; i < K; ++i)
+            for (int64_t j = 0; j < n; ++j)
+                cost3[static_cast<size_t>(i) * n + j] =
+                    1.0 - static_cast<double>(iou[static_cast<size_t>(i) * n + j]) *
+                              dets[j * 6 + 4];
+        std::vector<int32_t> r2c3 =
+            masked_assignment(cost3, K, n, unconf, u_first, cfg_.unconfirmed_match_thresh);
+        for (int i = 0; i < K; ++i)
+            if (r2c3[i] >= 0) det_taken[static_cast<size_t>(r2c3[i])] = 1;
+
+        // --- KF update + bookkeeping for matched slots
+        for (int i = 0; i < K; ++i) {
+            int32_t j = r2c1[i] >= 0 ? r2c1[i] : (r2c2[i] >= 0 ? r2c2[i] : r2c3[i]);
+            if (j < 0) continue;
+            float z[4];
+            xyxy_to_xywh(&dets[static_cast<int64_t>(j) * 6], z);
+            kf_.update(&mean_[static_cast<size_t>(i) * DX],
+                       &cov_[static_cast<size_t>(i) * DX * DX], z);
+            bool was_tracked = status_[i] == kTracked;
+            tracklet_len_[i] = was_tracked ? tracklet_len_[i] + 1 : 0;
+            status_[i] = kTracked;
+            activated_[i] = 1;
+            conf_[i] = dets[static_cast<int64_t>(j) * 6 + 4];
+            det_ind_[i] = static_cast<float>(j);
+            frame_id_[i] = frame;
+            cls_[i] = vote_cls(i, dets[static_cast<int64_t>(j) * 6 + 5],
+                               dets[static_cast<int64_t>(j) * 6 + 4]);
+        }
+
+        for (int i = 0; i < K; ++i) {
+            if (status_[i] == kLost && frame - frame_id_[i] > cfg_.max_time_lost)
+                status_[i] = kEmpty;
+            if (r_tracked[i] && r2c2[i] < 0) status_[i] = kLost;
+            if (unconf[i] && r2c3[i] < 0) status_[i] = kEmpty;
+        }
+
+        // --- new tracks gated at new_track_thresh
+        int free_cursor = 0;
+        for (int64_t j = 0; j < n; ++j) {
+            if (!u_first[static_cast<size_t>(j)] || det_taken[static_cast<size_t>(j)]) continue;
+            if (dets[j * 6 + 4] < cfg_.new_track_thresh) continue;
+            while (free_cursor < K && status_[free_cursor] != kEmpty) ++free_cursor;
+            if (free_cursor >= K) break;
+            int i = free_cursor++;
+            float z[4];
+            xyxy_to_xywh(&dets[j * 6], z);
+            kf_.initiate(z, &mean_[static_cast<size_t>(i) * DX],
+                         &cov_[static_cast<size_t>(i) * DX * DX]);
+            status_[i] = kTracked;
+            activated_[i] = frame == 1;
+            tid_[i] = next_id_++;
+            conf_[i] = dets[j * 6 + 4];
+            cls_[i] = dets[j * 6 + 5];
+            det_ind_[i] = static_cast<float>(j);
+            frame_id_[i] = frame;
+            start_frame_[i] = frame;
+            tracklet_len_[i] = 0;
+            // fresh class-vote state seeded with the birth detection
+            const size_t NC = static_cast<size_t>(cfg_.nr_classes);
+            std::fill_n(&cls_scores_[static_cast<size_t>(i) * NC], NC, 0.0f);
+            std::fill_n(&cls_seen_[static_cast<size_t>(i) * NC], NC, static_cast<char>(0));
+            vote_cls(i, dets[j * 6 + 5], dets[j * 6 + 4]);
+        }
+
+        // --- duplicate suppression between tracked and lost sets
+        for (int i = 0; i < K; ++i)
+            xywh_to_xyxy(&mean_[static_cast<size_t>(i) * DX], &trk_xyxy[static_cast<size_t>(i) * 4]);
+        std::vector<char> dup(static_cast<size_t>(K), 0);
+        for (int a = 0; a < K; ++a) {
+            if (status_[a] != kTracked) continue;
+            for (int b = 0; b < K; ++b) {
+                if (status_[b] != kLost) continue;
+                float d = 1.0f - iou_xyxy(&trk_xyxy[static_cast<size_t>(a) * 4],
+                                          &trk_xyxy[static_cast<size_t>(b) * 4]);
+                if (d >= 0.15f) continue;
+                int32_t ta = frame_id_[a] - start_frame_[a];
+                int32_t tb = frame_id_[b] - start_frame_[b];
+                if (ta <= tb) dup[a] = 1; else dup[b] = 1;
+            }
+        }
+        for (int i = 0; i < K; ++i)
+            if (dup[i]) status_[i] = kEmpty;
+
+        // --- emit activated tracked slots in slot order
+        int64_t m = 0;
+        for (int i = 0; i < K; ++i) {
+            if (status_[i] != kTracked || !activated_[i]) continue;
+            float* row = out + m * 8;
+            xywh_to_xyxy(&mean_[static_cast<size_t>(i) * DX], row);
+            row[4] = static_cast<float>(tid_[i]);
+            row[5] = conf_[i];
+            row[6] = cls_[i];
+            row[7] = det_ind_[i];
+            ++m;
+        }
+        return m;
+    }
+
+    int capacity() const { return cfg_.capacity; }
+
+  private:
+    // confidence-weighted class voting (botsort_track.py:69-83)
+    float vote_cls(int i, float cls_det, float conf_det) {
+        const int NC = cfg_.nr_classes;
+        int ci = std::min(std::max(static_cast<int>(cls_det), 0), NC - 1);
+        float* scores = &cls_scores_[static_cast<size_t>(i) * NC];
+        char* seen = &cls_seen_[static_cast<size_t>(i) * NC];
+        bool seen_before = seen[ci] != 0;
+        scores[ci] += conf_det;
+        seen[ci] = 1;
+        if (!seen_before) return cls_det;
+        int best = 0;
+        for (int c = 1; c < NC; ++c)
+            if (scores[c] > scores[best]) best = c;
+        return static_cast<float>(best);
+    }
+
+    static void xywh_to_xyxy(const float* s, float* box) {
+        box[0] = s[0] - s[2] / 2.0f;
+        box[1] = s[1] - s[3] / 2.0f;
+        box[2] = s[0] + s[2] / 2.0f;
+        box[3] = s[1] + s[3] / 2.0f;
+    }
+
+    static void xyxy_to_xywh(const float* b, float* z) {
+        z[0] = (b[0] + b[2]) / 2.0f;
+        z[1] = (b[1] + b[3]) / 2.0f;
+        z[2] = b[2] - b[0];
+        z[3] = b[3] - b[1];
+    }
+
+    BotSortConfig cfg_;
+    KalmanBank<XywhLayout> kf_{XywhLayout()};
+    std::vector<float> mean_, cov_, conf_, cls_, det_ind_, cls_scores_;
+    std::vector<int32_t> status_, tid_, frame_id_, start_frame_, tracklet_len_;
+    std::vector<char> activated_, cls_seen_;
+    int32_t frame_count_ = 0;
+    int32_t next_id_ = 1;
+};
+
+}  // namespace boxmot
+
+#endif  // BOXMOT_BOTSORT_BANK_HPP

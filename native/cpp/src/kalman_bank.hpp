@@ -215,6 +215,59 @@ struct XyahLayout {
     }
 };
 
+// [cx, cy, w, h] + velocities — BotSort / ByteTrack-OBB lineage
+// (mirrors kalman.make_xywh_layout, obb=False).
+struct XywhLayout {
+    static constexpr int DZ = 4;
+    static constexpr int DX = 8;
+    float swp = 1.0f / 20.0f;
+    float swv = 1.0f / 160.0f;
+
+    bool nsa() const { return false; }
+
+    void apply_motion(const float* x, float* out) const {
+        for (int i = 0; i < 4; ++i) out[i] = x[i] + x[i + 4];
+        for (int i = 4; i < 8; ++i) out[i] = x[i];
+    }
+
+    void init_std(const float* z, float* std) const {
+        float w = z[2], h = z[3];
+        std[0] = 2 * swp * w;
+        std[1] = 2 * swp * h;
+        std[2] = 2 * swp * w;
+        std[3] = 2 * swp * h;
+        std[4] = 10 * swv * w;
+        std[5] = 10 * swv * h;
+        std[6] = 10 * swv * w;
+        std[7] = 10 * swv * h;
+    }
+
+    void process_std(const float* mean, float* std) const {
+        float w = mean[2], h = mean[3];
+        std[0] = swp * w;
+        std[1] = swp * h;
+        std[2] = swp * w;
+        std[3] = swp * h;
+        std[4] = swv * w;
+        std[5] = swv * h;
+        std[6] = swv * w;
+        std[7] = swv * h;
+    }
+
+    void meas_std(const float* mean, float* std) const {
+        float w = mean[2], h = mean[3];
+        std[0] = swp * w;
+        std[1] = swp * h;
+        std[2] = swp * w;
+        std[3] = swp * h;
+    }
+
+    void enforce(float* mean) const {
+        mean[2] = std::max(mean[2], 1e-4f);
+        mean[3] = std::max(mean[3], 1e-4f);
+    }
+};
+
 // [cx, cy, s=area, r=aspect] + (vx, vy, vs) — OC-SORT's 7-D filter with
 // constant noise (mirrors kalman.make_xysr_layout, obb=False).
 struct XysrLayout {

@@ -13,6 +13,7 @@
 #include <string>
 
 #include "boosttrack_bank.hpp"
+#include "botsort_bank.hpp"
 #include "bytetrack_bank.hpp"
 #include "occluboost_bank.hpp"
 #include "ocsort_bank.hpp"
@@ -89,6 +90,14 @@ void* bmt_tracker_create(const char* name, const char* config) {
             return nullptr;
         }
         return new HandleImpl<boxmot::OccluBoostCore>(boxmot::OccluBoostCore(cfg));
+    }
+    if (n == "botsort") {
+        auto cfg = boxmot::BotSortConfig::from_string(config);
+        if (cfg.capacity <= 0 || cfg.capacity > (1 << 16)) {
+            g_tracker_error = "bad capacity";
+            return nullptr;
+        }
+        return new HandleImpl<boxmot::BotSortCore>(boxmot::BotSortCore(cfg));
     }
     g_tracker_error = "unknown native tracker: " + n;
     return nullptr;

@@ -240,6 +240,51 @@ class TestParityVsDevice:
             assert out_j.shape[0] == out_c.shape[0], f"frame {f}"
             assert {int(r[4]) for r in out_j} == {int(r[4]) for r in out_c}
 
+    @pytest.mark.parametrize("seed", [0, 1])
+    @pytest.mark.parametrize("fuse", [False, True])
+    def test_botsort_scene_parity(self, seed, fuse):
+        """Motion-only BotSort: cpp core vs device program."""
+        from boxmot_tpu.trackers.botsort import BotSort
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        kw = dict(with_reid=False, use_cmc=False, fuse_first_associate=fuse)
+        frames = moving_scene(n_frames=40, n_obj=6, seed=seed)
+        jax_trk = create_tracker("botsort", **kw)
+        assert isinstance(jax_trk, BotSort)
+        cpp_trk = create_tracker("botsort:cpp", fuse_first_associate=fuse)
+        for f, dets in enumerate(frames):
+            out_j = np.asarray(jax_trk.update(dets, IMG))
+            out_c = np.asarray(cpp_trk.update(dets, IMG))
+            assert out_j.shape[0] == out_c.shape[0], f"frame {f}: row count"
+            ids_j = {int(r[4]): r for r in out_j}
+            ids_c = {int(r[4]): r for r in out_c}
+            assert set(ids_j) == set(ids_c), f"frame {f}: track ids"
+            for tid, rj in ids_j.items():
+                rc = ids_c[tid]
+                np.testing.assert_allclose(
+                    rc[:4], rj[:4], atol=0.5, err_msg=f"frame {f} id {tid} box"
+                )
+                assert rc[6] == rj[6]  # voted class
+                assert rc[7] == rj[7]
+
+    def test_botsort_class_voting_parity(self):
+        """Confidence-weighted class votes flip the emitted class."""
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        kw = dict(with_reid=False, use_cmc=False)
+        jax_trk = create_tracker("botsort", **kw)
+        cpp_trk = create_tracker("botsort:cpp")
+        box = [100, 100, 160, 220]
+        # class 2 twice at low conf, then class 5 repeatedly at high conf
+        seq = [(2, 0.65), (2, 0.66), (5, 0.95), (5, 0.95), (5, 0.95)]
+        for cls_id, cf in seq:
+            dets = np.array([[*box, cf, cls_id]], np.float32)
+            out_j = np.asarray(jax_trk.update(dets, IMG))
+            out_c = np.asarray(cpp_trk.update(dets, IMG))
+            assert out_j.shape[0] == out_c.shape[0] == 1
+            assert out_j[0, 6] == out_c[0, 6]
+        assert out_c[0, 6] == 5.0
+
     @pytest.mark.parametrize("seed", [0, 1, 4])
     def test_occluboost_scene_parity(self, seed):
         """Motion-only OccluBoost (flagship): cpp core vs device program."""
