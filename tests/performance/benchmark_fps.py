@@ -10,6 +10,8 @@ embeddings.  Two modes per tracker:
   * replay: the on-device `lax.scan` over a whole sequence — the
             deployment-shape fast path (the TPU analogue of the
             reference's C++ backend column)
+  * cpp:    per-frame update on the native slot-bank cores
+            (`backend="cpp"`, the reference's C++ column itself)
 
 Usage::
 
@@ -91,12 +93,27 @@ def bench_replay(name, dets_frames):
     return n_frames / dt
 
 
+def bench_cpp(name, dets_frames, warmup=5):
+    from boxmot_tpu.trackers.zoo import create_tracker
+
+    trk = create_tracker(name, backend="cpp")
+    img = np.zeros((64, 64, 3), np.uint8)
+    for f in range(warmup):
+        trk.update(dets_frames[f % len(dets_frames)], img)
+    trk.reset()
+    t0 = time.perf_counter()
+    for dets in dets_frames:
+        trk.update(dets, img)
+    dt = time.perf_counter() - t0
+    return len(dets_frames) / dt
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--trackers", default=",".join(DEFAULT_TRACKERS))
     ap.add_argument("--counts", default=",".join(map(str, DEFAULT_COUNTS)))
     ap.add_argument("--frames", type=int, default=128)
-    ap.add_argument("--modes", default="live,replay")
+    ap.add_argument("--modes", default="live,replay,cpp")
     ap.add_argument("--json", dest="json_path", default=None)
     args = ap.parse_args(argv)
 
@@ -119,7 +136,13 @@ def main(argv=None):
             for mode in modes:
                 if mode == "replay" and name not in REPLAYABLE:
                     continue
-                fn = bench_live if mode == "live" else bench_replay
+                if mode == "cpp":
+                    from boxmot_tpu import native
+                    from boxmot_tpu.native.trackers import NATIVE_LIVE_TRACKERS
+
+                    if name not in NATIVE_LIVE_TRACKERS or not native.native_available():
+                        continue
+                fn = {"live": bench_live, "replay": bench_replay, "cpp": bench_cpp}[mode]
                 try:
                     fps = fn(name, dets)
                 except Exception as exc:  # report, keep sweeping
