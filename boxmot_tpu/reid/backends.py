@@ -156,4 +156,10 @@ def create_reid(weights=None, **kwargs):
         kwargs.pop("half", None)
         kwargs.pop("preprocess_name", None)
         return SavedModelReID(p, **kwargs)
+    if p.name == "manifest.txt" or (p.is_dir() and (p / "manifest.txt").exists()):
+        # native C++ OSNet runtime (export_native_reid output; the
+        # reference's cpp ReID backend, native/reid/capi.py)
+        from boxmot_tpu.native.reid import CppReID
+
+        return CppReID(p if p.name == "manifest.txt" else p / "manifest.txt")
     return ReID(weights=weights, **kwargs)
