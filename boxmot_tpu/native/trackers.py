@@ -36,9 +36,32 @@ def _bind(lib):
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.bmt_tracker_update_img.restype = ctypes.c_int64
+    lib.bmt_tracker_update_img.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
     lib.bmt_tracker_last_error.restype = ctypes.c_char_p
+    lib.bmt_cmc_create.restype = ctypes.c_void_p
+    lib.bmt_cmc_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_double]
+    lib.bmt_cmc_destroy.argtypes = [ctypes.c_void_p]
+    lib.bmt_cmc_apply.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
     _BOUND = True
 
+
+# CMC-capable cores accept these on top of their tracker keys.
+_CMC_KEYS = ("use_cmc", "cmc_max_iter", "cmc_scale", "cmc_euclidean")
 
 # Config keys accepted by each native core (ByteTrackConfig::from_string).
 _NATIVE_KEYS = {
@@ -78,7 +101,7 @@ _NATIVE_KEYS = {
         "std_weight_position",
         "std_weight_velocity",
         "capacity",
-    ),
+    ) + _CMC_KEYS,
     "sfsort": (
         "high_th",
         "match_th_first",
@@ -116,7 +139,7 @@ _NATIVE_KEYS = {
         "use_sb",
         "use_vt",
         "capacity",
-    ),
+    ) + _CMC_KEYS,
     "occluboost": (
         "det_thresh",
         "max_age",
@@ -150,7 +173,7 @@ _NATIVE_KEYS = {
         "ams_buffer_size",
         "ams_shrink_ratio",
         "capacity",
-    ),
+    ) + _CMC_KEYS,
 }
 
 NATIVE_LIVE_TRACKERS = tuple(_NATIVE_KEYS)
@@ -223,12 +246,22 @@ class NativeTracker:
             raise AssertionError(
                 "native trackers take (N, 6) [x1,y1,x2,y2,conf,cls] dets"
             )
-        m = self._lib.bmt_tracker_update(
-            self._handle,
-            dets.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            dets.shape[0],
-            self._out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        )
+        dp = dets.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        op = self._out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        if img is not None and getattr(img, "ndim", 0) == 3 and img.shape[2] == 3:
+            # image-aware path: CMC-capable cores estimate camera motion
+            img = np.ascontiguousarray(img, np.uint8)
+            m = self._lib.bmt_tracker_update_img(
+                self._handle,
+                dp,
+                dets.shape[0],
+                img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                img.shape[0],
+                img.shape[1],
+                op,
+            )
+        else:
+            m = self._lib.bmt_tracker_update(self._handle, dp, dets.shape[0], op)
         if m < 0:
             raise RuntimeError(self._lib.bmt_tracker_last_error().decode())
         self.frame_count += 1
@@ -242,4 +275,43 @@ class NativeTracker:
         handle = getattr(self, "_handle", None)
         if handle:
             self._lib.bmt_tracker_destroy(handle)
+            self._handle = None
+
+
+class NativeECC:
+    """Standalone native camera-motion estimator with the device ECC's
+    `apply(img) -> (2, 3) warp` contract (motion/cmc.py ECC)."""
+
+    def __init__(self, warp_mode: str = "translation", max_iter: int = 50,
+                 scale: float = 0.15):
+        lib = get_library()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        _bind(lib)
+        self._lib = lib
+        self._handle = lib.bmt_cmc_create(
+            1 if warp_mode == "euclidean" else 0, max_iter, float(scale)
+        )
+
+    def apply(self, img: np.ndarray, dets=None) -> np.ndarray:
+        warp = np.eye(2, 3, dtype=np.float32)
+        if img is None:
+            return warp
+        img = np.ascontiguousarray(img, np.uint8)
+        out = np.empty(6, np.float32)
+        rc = self._lib.bmt_cmc_apply(
+            self._handle,
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            img.shape[0],
+            img.shape[1],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != 0:
+            raise RuntimeError(self._lib.bmt_tracker_last_error().decode())
+        return out.reshape(2, 3)
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.bmt_cmc_destroy(handle)
             self._handle = None

@@ -21,6 +21,7 @@
 #include <limits>
 #include <vector>
 
+#include "ecc_cmc.hpp"
 #include "kalman_bank.hpp"
 #include "slot_common.hpp"
 
@@ -45,6 +46,10 @@ struct BoostTrackConfig {
     bool use_rich_s = false;
     bool use_sb = false;
     bool use_vt = false;
+    bool use_cmc = true;
+    int cmc_max_iter = 50;
+    float cmc_scale = 0.15f;
+    bool cmc_euclidean = false;
     int capacity = 256;
 
     void load(const std::unordered_map<std::string, double>& kv) {
@@ -65,6 +70,10 @@ struct BoostTrackConfig {
         use_rich_s = cfg_get(kv, "use_rich_s", 0.0) != 0.0;
         use_sb = cfg_get(kv, "use_sb", 0.0) != 0.0;
         use_vt = cfg_get(kv, "use_vt", 0.0) != 0.0;
+        use_cmc = cfg_get(kv, "use_cmc", 1.0) != 0.0;
+        cmc_max_iter = static_cast<int>(cfg_get(kv, "cmc_max_iter", cmc_max_iter));
+        cmc_scale = static_cast<float>(cfg_get(kv, "cmc_scale", cmc_scale));
+        cmc_euclidean = cfg_get(kv, "cmc_euclidean", 0.0) != 0.0;
         capacity = static_cast<int>(cfg_get(kv, "capacity", capacity));
     }
 
@@ -331,11 +340,36 @@ inline float boost_track_confidence(int32_t age, int32_t tsu) {
                    : std::pow(0.9f, static_cast<float>(tsu - 1));
 }
 
+// camera update: warp the state box corners and rebuild [x, y, h, r]
+// (boosttrack.py:318-321 camera_update / camera_update_xyhr)
+inline void boost_camera_update(std::vector<float>& mean, const std::vector<char>& active,
+                                int K, int DX, const Warp2x3& warp) {
+    if (warp.identity()) return;
+    const float a = warp.m[0], b = warp.m[1], tx = warp.m[2];
+    const float c = warp.m[3], d = warp.m[4], ty = warp.m[5];
+    for (int i = 0; i < K; ++i) {
+        if (!active[i]) continue;
+        float* m = &mean[static_cast<size_t>(i) * DX];
+        float box[4];
+        xyhr_to_xyxy(m, box);
+        float p1x = a * box[0] + b * box[1] + tx;
+        float p1y = c * box[0] + d * box[1] + ty;
+        float p2x = a * box[2] + b * box[3] + tx;
+        float p2y = c * box[2] + d * box[3] + ty;
+        float nb[4] = {p1x, p1y, p2x, p2y};
+        xyxy_to_xyhr(nb, m);
+    }
+}
+
 class BoostTrackCore {
   public:
     static constexpr int DX = 8;
 
-    explicit BoostTrackCore(const BoostTrackConfig& cfg) : cfg_(cfg) { reset(); }
+    explicit BoostTrackCore(const BoostTrackConfig& cfg)
+        : cfg_(cfg),
+          cmc_(cfg.cmc_euclidean ? 1 : 0, cfg.cmc_max_iter, cfg.cmc_scale) {
+        reset();
+    }
 
     void reset() {
         const size_t K = static_cast<size_t>(cfg_.capacity);
@@ -349,15 +383,30 @@ class BoostTrackCore {
         conf_.assign(K, 0.0f);
         cls_.assign(K, 0.0f);
         det_ind_.assign(K, 0.0f);
+        cmc_.reset();
         frame_count_ = 0;
         next_id_ = 1;
     }
 
     int64_t step(const float* dets, int64_t n, float* out) {
+        return step_warp(dets, n, Warp2x3(), out);
+    }
+
+    int64_t step_img(const float* dets, int64_t n, const uint8_t* img, int64_t H,
+                     int64_t W, float* out) {
+        Warp2x3 warp;
+        if (cfg_.use_cmc && img) warp = cmc_.apply(img, H, W);
+        return step_warp(dets, n, warp, out);
+    }
+
+    int64_t step_warp(const float* dets, int64_t n, const Warp2x3& warp, float* out) {
         const int K = cfg_.capacity;
         const int32_t frame = ++frame_count_;
 
-        // --- predict + track confidence (identity camera warp)
+        // --- camera update before predict (boosttrack_step)
+        boost_camera_update(mean_, active_, K, DX, warp);
+
+        // --- predict + track confidence
         for (int i = 0; i < K; ++i) {
             if (!active_[i]) continue;
             kf_.predict(&mean_[static_cast<size_t>(i) * DX],
@@ -496,6 +545,7 @@ class BoostTrackCore {
 
   private:
     BoostTrackConfig cfg_;
+    EccCmc cmc_;
     KalmanBank<XyhrLayout> kf_{XyhrLayout()};
     std::vector<float> mean_, cov_, conf_, cls_, det_ind_;
     std::vector<int32_t> age_, tsu_, hit_streak_, tid_;

@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <vector>
 
+#include "ecc_cmc.hpp"
 #include "kalman_bank.hpp"
 #include "slot_common.hpp"
 
@@ -34,6 +35,10 @@ struct BotSortConfig {
     int nr_classes = 80;
     float std_weight_position = 1.0f / 20.0f;
     float std_weight_velocity = 1.0f / 160.0f;
+    bool use_cmc = true;
+    int cmc_max_iter = 50;
+    float cmc_scale = 0.15f;
+    bool cmc_euclidean = false;
     int capacity = 256;
 
     static BotSortConfig from_string(const char* s) {
@@ -57,6 +62,10 @@ struct BotSortConfig {
             static_cast<float>(cfg_get(kv, "std_weight_position", c.std_weight_position));
         c.std_weight_velocity =
             static_cast<float>(cfg_get(kv, "std_weight_velocity", c.std_weight_velocity));
+        c.use_cmc = cfg_get(kv, "use_cmc", 1.0) != 0.0;
+        c.cmc_max_iter = static_cast<int>(cfg_get(kv, "cmc_max_iter", c.cmc_max_iter));
+        c.cmc_scale = static_cast<float>(cfg_get(kv, "cmc_scale", c.cmc_scale));
+        c.cmc_euclidean = cfg_get(kv, "cmc_euclidean", 0.0) != 0.0;
         c.capacity = static_cast<int>(cfg_get(kv, "capacity", c.capacity));
         return c;
     }
@@ -67,7 +76,9 @@ class BotSortCore {
     static constexpr int DX = 8;
     enum Status : int32_t { kEmpty = 0, kTracked = 1, kLost = 2 };
 
-    explicit BotSortCore(const BotSortConfig& cfg) : cfg_(cfg) {
+    explicit BotSortCore(const BotSortConfig& cfg)
+        : cfg_(cfg),
+          cmc_(cfg.cmc_euclidean ? 1 : 0, cfg.cmc_max_iter, cfg.cmc_scale) {
         XywhLayout layout;
         layout.swp = cfg.std_weight_position;
         layout.swv = cfg.std_weight_velocity;
@@ -91,11 +102,26 @@ class BotSortCore {
         tracklet_len_.assign(K, 0);
         cls_scores_.assign(K * NC, 0.0f);
         cls_seen_.assign(K * NC, 0);
+        cmc_.reset();
         frame_count_ = 0;
         next_id_ = 1;
     }
 
     int64_t step(const float* dets, int64_t n, float* out) {
+        return step_warp(dets, n, Warp2x3(), out);
+    }
+
+    // image-aware update: estimate camera motion, then track
+    // (reference live API passes the frame; BotSort.apply cmc,
+    // botsort.py:158-175)
+    int64_t step_img(const float* dets, int64_t n, const uint8_t* img, int64_t H,
+                     int64_t W, float* out) {
+        Warp2x3 warp;
+        if (cfg_.use_cmc && img) warp = cmc_.apply(img, H, W);
+        return step_warp(dets, n, warp, out);
+    }
+
+    int64_t step_warp(const float* dets, int64_t n, const Warp2x3& warp, float* out) {
         const int K = cfg_.capacity;
         const int32_t frame = ++frame_count_;
 
@@ -124,6 +150,44 @@ class BotSortCore {
             if (!pool[i]) continue;
             kf_.predict(&mean_[static_cast<size_t>(i) * DX],
                         &cov_[static_cast<size_t>(i) * DX * DX]);
+        }
+
+        // camera motion compensation on pool + unconfirmed (multi_gmc,
+        // botsort_track.py:118-133): mean <- kron(I4, R) mean + t,
+        // cov <- T cov T^T
+        if (!warp.identity()) {
+            const float a = warp.m[0], b = warp.m[1], tx = warp.m[2];
+            const float c = warp.m[3], d = warp.m[4], ty = warp.m[5];
+            for (int i = 0; i < K; ++i) {
+                if (!pool[i] && !unconf[i]) continue;
+                float* m = &mean_[static_cast<size_t>(i) * DX];
+                for (int pr = 0; pr < 4; ++pr) {
+                    float x = m[pr * 2], y = m[pr * 2 + 1];
+                    m[pr * 2] = a * x + b * y;
+                    m[pr * 2 + 1] = c * x + d * y;
+                }
+                m[0] += tx;
+                m[1] += ty;
+                if (a != 1.0f || b != 0.0f || c != 0.0f || d != 1.0f) {
+                    // rotate the covariance pair blocks: T = kron(I4, R)
+                    float* P = &cov_[static_cast<size_t>(i) * DX * DX];
+                    float TP[DX][DX];
+                    for (int col = 0; col < DX; ++col)
+                        for (int pr = 0; pr < 4; ++pr) {
+                            float x = P[(pr * 2) * DX + col];
+                            float y = P[(pr * 2 + 1) * DX + col];
+                            TP[pr * 2][col] = a * x + b * y;
+                            TP[pr * 2 + 1][col] = c * x + d * y;
+                        }
+                    for (int row = 0; row < DX; ++row)
+                        for (int pr = 0; pr < 4; ++pr) {
+                            float x = TP[row][pr * 2];
+                            float y = TP[row][pr * 2 + 1];
+                            P[row * DX + pr * 2] = a * x + b * y;
+                            P[row * DX + pr * 2 + 1] = c * x + d * y;
+                        }
+                }
+            }
         }
 
         // one shared IoU matrix over predicted track boxes
@@ -300,6 +364,7 @@ class BotSortCore {
     }
 
     BotSortConfig cfg_;
+    EccCmc cmc_;
     KalmanBank<XywhLayout> kf_{XywhLayout()};
     std::vector<float> mean_, cov_, conf_, cls_, det_ind_, cls_scores_;
     std::vector<int32_t> status_, tid_, frame_id_, start_frame_, tracklet_len_;

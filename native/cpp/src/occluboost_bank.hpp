@@ -82,7 +82,12 @@ class OccluBoostCore {
   public:
     static constexpr int DX = 8;
 
-    explicit OccluBoostCore(const OccluBoostConfig& cfg) : cfg_(cfg) { reset(); }
+    explicit OccluBoostCore(const OccluBoostConfig& cfg)
+        : cfg_(cfg),
+          cmc_(cfg.boost.cmc_euclidean ? 1 : 0, cfg.boost.cmc_max_iter,
+               cfg.boost.cmc_scale) {
+        reset();
+    }
 
     void reset() {
         const size_t K = static_cast<size_t>(cfg_.boost.capacity);
@@ -100,16 +105,31 @@ class OccluBoostCore {
         is_activated_.assign(K, 0);
         ams_ring_.assign(K * B * 4, 0.0f);
         ams_count_.assign(K, 0);
+        cmc_.reset();
         frame_count_ = 0;
         next_id_ = 1;
     }
 
     int64_t step(const float* dets, int64_t n, float* out) {
+        return step_warp(dets, n, Warp2x3(), out);
+    }
+
+    int64_t step_img(const float* dets, int64_t n, const uint8_t* img, int64_t H,
+                     int64_t W, float* out) {
+        Warp2x3 warp;
+        if (cfg_.boost.use_cmc && img) warp = cmc_.apply(img, H, W);
+        return step_warp(dets, n, warp, out);
+    }
+
+    int64_t step_warp(const float* dets, int64_t n, const Warp2x3& warp, float* out) {
         const BoostTrackConfig& bc = cfg_.boost;
         const int K = bc.capacity;
         const int32_t frame = ++frame_count_;
 
-        // --- predict + track confidence (identity camera warp)
+        // --- camera update before predict (occluboost_step)
+        boost_camera_update(mean_, active_, K, DX, warp);
+
+        // --- predict + track confidence
         for (int i = 0; i < K; ++i) {
             if (!active_[i]) continue;
             kf_.predict(&mean_[static_cast<size_t>(i) * DX],
@@ -376,6 +396,7 @@ class OccluBoostCore {
     }
 
     OccluBoostConfig cfg_;
+    EccCmc cmc_;
     KalmanBank<XyhrLayout> kf_{XyhrLayout()};
     std::vector<float> mean_, cov_, conf_, cls_, det_ind_, ams_ring_;
     std::vector<int32_t> age_, tsu_, hit_streak_, tid_, ams_count_;

@@ -3,18 +3,21 @@
 // Mirrors the role of the reference's per-tracker live C APIs
 // (boxmot/native/cpp/trackers/*/src/c_api.cpp; contract described in
 // live_c_api.hpp): create from a config string, feed (N, 6) detections
-// per frame, receive (M, 8) [x1,y1,x2,y2,id,conf,cls,det_ind] rows.
-// Image/embedding inputs are not part of this ABI — appearance trackers
-// run on the device path.
+// per frame — optionally with the BGR frame for camera-motion
+// compensation — receive (M, 8) [x1,y1,x2,y2,id,conf,cls,det_ind] rows.
+// Embedding inputs are not part of this ABI — appearance trackers run
+// on the device path.
 
 #include <cstdint>
 #include <cstring>
 #include <memory>
 #include <string>
+#include <type_traits>
 
 #include "boosttrack_bank.hpp"
 #include "botsort_bank.hpp"
 #include "bytetrack_bank.hpp"
+#include "ecc_cmc.hpp"
 #include "occluboost_bank.hpp"
 #include "ocsort_bank.hpp"
 #include "sfsort_bank.hpp"
@@ -23,10 +26,21 @@ namespace {
 
 thread_local std::string g_tracker_error;
 
+template <class T, class = void>
+struct has_step_img : std::false_type {};
+template <class T>
+struct has_step_img<T, std::void_t<decltype(std::declval<T&>().step_img(
+                           static_cast<const float*>(nullptr), int64_t{0},
+                           static_cast<const uint8_t*>(nullptr), int64_t{0},
+                           int64_t{0}, static_cast<float*>(nullptr)))>>
+    : std::true_type {};
+
 struct TrackerHandle {
     virtual ~TrackerHandle() = default;
     virtual void reset() = 0;
     virtual int64_t step(const float* dets, int64_t n, float* out) = 0;
+    virtual int64_t step_img(const float* dets, int64_t n, const uint8_t* img,
+                             int64_t H, int64_t W, float* out) = 0;
     virtual int capacity() const = 0;
 };
 
@@ -37,6 +51,15 @@ struct HandleImpl final : TrackerHandle {
     void reset() override { core.reset(); }
     int64_t step(const float* dets, int64_t n, float* out) override {
         return core.step(dets, n, out);
+    }
+    int64_t step_img(const float* dets, int64_t n, const uint8_t* img, int64_t H,
+                     int64_t W, float* out) override {
+        if constexpr (has_step_img<Core>::value) {
+            return core.step_img(dets, n, img, H, W, out);
+        } else {
+            (void)img; (void)H; (void)W;
+            return core.step(dets, n, out);  // motion-only core: frame unused
+        }
     }
     int capacity() const override { return core.capacity(); }
 };
@@ -126,6 +149,37 @@ int64_t bmt_tracker_update(void* h, const float* dets, int64_t n, float* out) {
         return -1;
     }
     return static_cast<TrackerHandle*>(h)->step(dets, n, out);
+}
+
+// As bmt_tracker_update plus the (H, W, 3) BGR uint8 frame; CMC-capable
+// cores estimate camera motion from it, others ignore it.
+int64_t bmt_tracker_update_img(void* h, const float* dets, int64_t n,
+                               const uint8_t* img, int64_t H, int64_t W,
+                               float* out) {
+    if (!h || (n > 0 && !dets) || !out) {
+        g_tracker_error = "bad args to bmt_tracker_update_img";
+        return -1;
+    }
+    return static_cast<TrackerHandle*>(h)->step_img(dets, n, img, H, W, out);
+}
+
+// Standalone ECC camera-motion estimator (ecc_cmc.hpp; mirrors
+// boxmot_tpu/motion/cmc.py ECC).  warp6: row-major 2x3 out.
+void* bmt_cmc_create(int euclidean, int max_iter, double scale) {
+    return new boxmot::EccCmc(euclidean ? 1 : 0, max_iter,
+                              static_cast<float>(scale));
+}
+
+void bmt_cmc_destroy(void* h) { delete static_cast<boxmot::EccCmc*>(h); }
+
+int bmt_cmc_apply(void* h, const uint8_t* img, int64_t H, int64_t W, float* warp6) {
+    if (!h || !img || !warp6) {
+        g_tracker_error = "bad args to bmt_cmc_apply";
+        return -1;
+    }
+    boxmot::Warp2x3 w = static_cast<boxmot::EccCmc*>(h)->apply(img, H, W);
+    std::memcpy(warp6, w.m, sizeof(w.m));
+    return 0;
 }
 
 }  // extern "C"
