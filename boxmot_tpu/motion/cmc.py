@@ -328,7 +328,12 @@ class SIFT(_DescriptorCMC):
 
 class SOF(_FeatureCMC):
     """Sparse optical flow: goodFeaturesToTrack + pyramidal LK + RANSAC
-    partial affine, with inlier-count/ratio rejection (sof.py:14-147)."""
+    partial affine, with inlier-count/ratio rejection (sof.py:14-147).
+
+    Runs on OpenCV when available; hermetic hosts fall back to the
+    self-contained numpy pipeline (_np_shi_tomasi / _np_pyr_lk /
+    _np_similarity_ransac) with the same stage structure and gates.
+    """
 
     def __init__(
         self,
@@ -338,8 +343,9 @@ class SOF(_FeatureCMC):
         ransac_reproj_threshold: float = 3.0,
         **kw,
     ):
-        import cv2
+        import importlib.util
 
+        self._has_cv2 = importlib.util.find_spec("cv2") is not None
         self.scale = float(scale)
         self.min_inliers = int(min_inliers)
         self.min_inlier_ratio = float(min_inlier_ratio)
@@ -348,10 +354,13 @@ class SOF(_FeatureCMC):
             maxCorners=1000, qualityLevel=0.01, minDistance=1, blockSize=3,
             useHarrisDetector=False, k=0.04,
         )
-        self.lk_params = dict(
-            winSize=(21, 21), maxLevel=3,
-            criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 30, 0.01),
-        )
+        if self._has_cv2:
+            import cv2
+
+            self.lk_params = dict(
+                winSize=(21, 21), maxLevel=3,
+                criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 30, 0.01),
+            )
         self.prev_frame = None
         self.prev_keypoints = None
         self.initialized = False
@@ -370,6 +379,8 @@ class SOF(_FeatureCMC):
         self.initialized = kps is not None and len(kps) >= 4
 
     def apply(self, img, dets=None):
+        if not self._has_cv2:
+            return self._apply_np(img, dets)
         import cv2
 
         frame_gray = self._preprocess(np.asarray(img))
@@ -423,6 +434,240 @@ class SOF(_FeatureCMC):
         self.prev_keypoints = new_kps.copy()
         self.initialized = True
         return H_est
+
+    # -- cv2-free path --------------------------------------------------
+
+    def _detect_np(self, frame_gray, dets):
+        fp = self.feature_params
+        return _np_shi_tomasi(
+            frame_gray,
+            mask=self._mask(frame_gray, dets),
+            max_corners=fp["maxCorners"],
+            quality=fp["qualityLevel"],
+            min_distance=fp["minDistance"],
+            block=fp["blockSize"],
+        )
+
+    def _apply_np(self, img, dets=None):
+        frame_gray = _np_gray(img, self.scale)
+        H = np.eye(2, 3, dtype=np.float32)
+
+        if not self.initialized or self.prev_keypoints is None or len(self.prev_keypoints) < 4:
+            kps = self._detect_np(frame_gray, dets)
+            self.prev_frame = frame_gray
+            self.prev_keypoints = kps
+            self.initialized = len(kps) >= 4
+            return H
+
+        next_kps, status = _np_pyr_lk(self.prev_frame, frame_gray, self.prev_keypoints)
+        prev_valid = self.prev_keypoints[status]
+        next_valid = next_kps[status]
+        if len(prev_valid) < 4:
+            kps = self._detect_np(frame_gray, dets)
+            self.prev_frame = frame_gray
+            self.prev_keypoints = kps
+            self.initialized = len(kps) >= 4
+            return H
+
+        H_est, inliers = _np_similarity_ransac(
+            prev_valid, next_valid, thresh=self.ransac_reproj_threshold
+        )
+        n_in = int(np.count_nonzero(inliers))
+        if (
+            H_est is None
+            or n_in < self.min_inliers
+            or n_in / max(len(prev_valid), 1) < self.min_inlier_ratio
+        ):
+            H_est = H
+        else:
+            H_est = self._upscale(H_est)
+
+        new_kps = self._detect_np(frame_gray, dets)
+        if len(new_kps) < 4:
+            new_kps = next_valid
+        self.prev_frame = frame_gray
+        self.prev_keypoints = new_kps
+        self.initialized = True
+        return H_est
+
+
+# ---------------------------------------------------------------------------
+# cv2-free sparse-optical-flow machinery (used by SOF when OpenCV is
+# unavailable — hermetic TPU hosts).  Same structure as the cv2 path:
+# Shi-Tomasi corners + pyramidal Lucas-Kanade + RANSAC similarity fit.
+# ---------------------------------------------------------------------------
+
+
+def _np_gray(img, scale):
+    """BGR (or gray) image -> float32 grayscale, bilinearly downscaled
+    with cv2-style half-pixel centers."""
+    img = np.asarray(img)
+    g = (
+        img.astype(np.float32) @ np.asarray(BGR_GRAY, np.float32)
+        if img.ndim == 3
+        else img.astype(np.float32)
+    )
+    if not scale or scale == 1.0:
+        return g
+    H, W = g.shape
+    oh, ow = max(int(H * scale), 8), max(int(W * scale), 8)
+    ys = np.clip((np.arange(oh) + 0.5) * (H / oh) - 0.5, 0, H - 1.001)
+    xs = np.clip((np.arange(ow) + 0.5) * (W / ow) - 0.5, 0, W - 1.001)
+    y0 = ys.astype(np.int32)
+    x0 = xs.astype(np.int32)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    return (
+        g[y0][:, x0] * (1 - wy) * (1 - wx)
+        + g[y0][:, x0 + 1] * (1 - wy) * wx
+        + g[y0 + 1][:, x0] * wy * (1 - wx)
+        + g[y0 + 1][:, x0 + 1] * wy * wx
+    )
+
+
+def _np_shi_tomasi(gray, mask=None, max_corners=1000, quality=0.01, min_distance=1,
+                   block=3):
+    """goodFeaturesToTrack equivalent: min-eigenvalue corner response,
+    quality-relative threshold, distance-based non-max suppression."""
+    from scipy.ndimage import maximum_filter, uniform_filter
+
+    Iy, Ix = np.gradient(gray.astype(np.float32))
+    xx = uniform_filter(Ix * Ix, block)
+    yy = uniform_filter(Iy * Iy, block)
+    xy = uniform_filter(Ix * Iy, block)
+    # min eigenvalue of the structure tensor
+    tr = xx + yy
+    det = np.sqrt(np.maximum((xx - yy) ** 2 + 4 * xy**2, 0.0))
+    r = (tr - det) / 2.0
+    if mask is not None:
+        r = np.where(mask > 0, r, 0.0)
+    peak = r.max()
+    if peak <= 0:
+        return np.empty((0, 2), np.float32)
+    size = 2 * max(int(min_distance), 1) + 1
+    is_peak = (r == maximum_filter(r, size=size)) & (r >= quality * peak)
+    ys, xs = np.nonzero(is_peak)
+    order = np.argsort(r[ys, xs])[::-1][:max_corners]
+    return np.stack([xs[order], ys[order]], axis=-1).astype(np.float32)
+
+
+def _np_pyramid(gray, levels):
+    pyr = [gray.astype(np.float32)]
+    for _ in range(levels):
+        g = pyr[-1]
+        h2, w2 = g.shape[0] // 2, g.shape[1] // 2
+        if h2 < 8 or w2 < 8:
+            break
+        pyr.append(g[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2).mean(axis=(1, 3)))
+    return pyr
+
+
+def _np_sample_patches(img, cx, cy, half):
+    """Bilinear (2*half+1)^2 patches around each (cx, cy) with border
+    clamp, batched: cx/cy (N,) -> (N, win, win)."""
+    H, W = img.shape
+    offs = np.arange(-half, half + 1, dtype=np.float32)
+    ys = np.clip(cy[:, None] + offs[None, :], 0, H - 1.001)  # (N, win)
+    xs = np.clip(cx[:, None] + offs[None, :], 0, W - 1.001)
+    y0 = ys.astype(np.int32)[:, :, None]  # (N, win, 1)
+    x0 = xs.astype(np.int32)[:, None, :]  # (N, 1, win)
+    wy = (ys - y0[..., 0])[:, :, None]
+    wx = (xs - x0[:, 0, :])[:, None, :]
+    return (
+        img[y0, x0] * (1 - wy) * (1 - wx)
+        + img[y0, x0 + 1] * (1 - wy) * wx
+        + img[y0 + 1, x0] * wy * (1 - wx)
+        + img[y0 + 1, x0 + 1] * wy * wx
+    )
+
+
+def _np_pyr_lk(prev, curr, pts, win=21, levels=3, iters=30, eps=0.01):
+    """calcOpticalFlowPyrLK equivalent, vectorized over points.
+    pts: (N, 2) xy.  Returns (next_pts, status)."""
+    half = win // 2
+    prev_pyr = _np_pyramid(prev, levels)
+    curr_pyr = _np_pyramid(curr, levels)
+    n = len(pts)
+    flow = np.zeros((n, 2), np.float32)
+    status = np.ones((n,), bool)
+    for lvl in range(len(prev_pyr) - 1, -1, -1):
+        p = prev_pyr[lvl]
+        c = curr_pyr[lvl]
+        s = 1.0 / (2**lvl)
+        cx = pts[:, 0] * s
+        cy = pts[:, 1] * s
+        tpl = _np_sample_patches(p, cx, cy, half)  # (N, win, win)
+        gy, gx = np.gradient(tpl, axis=(1, 2))
+        axx = np.sum(gx * gx, axis=(1, 2))
+        axy = np.sum(gx * gy, axis=(1, 2))
+        ayy = np.sum(gy * gy, axis=(1, 2))
+        det = axx * ayy - axy * axy
+        ok = det > 1e-6
+        status &= ok
+        det = np.where(ok, det, 1.0)
+        active = status.copy()
+        for _ in range(iters):
+            if not active.any():
+                break
+            patch = _np_sample_patches(c, cx + flow[:, 0], cy + flow[:, 1], half)
+            diff = tpl - patch
+            bx = np.sum(gx * diff, axis=(1, 2))
+            by = np.sum(gy * diff, axis=(1, 2))
+            dx = (ayy * bx - axy * by) / det
+            dy = (axx * by - axy * bx) / det
+            step = active.astype(np.float32)
+            flow[:, 0] += dx * step
+            flow[:, 1] += dy * step
+            active &= (np.abs(dx) >= eps) | (np.abs(dy) >= eps)
+        if lvl > 0:
+            flow *= 2.0
+    nxt = pts + flow
+    H, W = curr.shape
+    status &= (nxt[:, 0] >= 0) & (nxt[:, 0] < W) & (nxt[:, 1] >= 0) & (nxt[:, 1] < H)
+    return nxt, status
+
+
+def _np_similarity_ransac(src, dst, thresh=3.0, iters=100, seed=0):
+    """estimateAffinePartial2D equivalent: RANSAC over 2-point similarity
+    hypotheses + least-squares refinement on the consensus set.  Returns
+    (2x3 warp or None, inlier mask)."""
+    n = len(src)
+    if n < 2:
+        return None, np.zeros((n,), bool)
+
+    def fit(s, d):
+        # complex least squares: d ~ (a + ib) s + (tx + i ty)
+        zs = s[:, 0] + 1j * s[:, 1]
+        zd = d[:, 0] + 1j * d[:, 1]
+        zm = zs.mean()
+        dm = zd.mean()
+        num = np.vdot(zs - zm, zd - dm)
+        den = np.vdot(zs - zm, zs - zm).real
+        ab = num / max(den, 1e-12)
+        t = dm - ab * zm
+        return np.array(
+            [[ab.real, -ab.imag, t.real], [ab.imag, ab.real, t.imag]], np.float32
+        )
+
+    def residual(M):
+        pred = src @ M[:, :2].T + M[:, 2]
+        return np.linalg.norm(pred - dst, axis=1)
+
+    rng = np.random.default_rng(seed)
+    best_inl = np.zeros((n,), bool)
+    for _ in range(iters):
+        idx = rng.choice(n, 2, replace=False)
+        if np.allclose(src[idx[0]], src[idx[1]]):
+            continue
+        M = fit(src[idx], dst[idx])
+        inl = residual(M) < thresh
+        if inl.sum() > best_inl.sum():
+            best_inl = inl
+    if best_inl.sum() < 2:
+        return None, best_inl
+    M = fit(src[best_inl], dst[best_inl])
+    best_inl = residual(M) < thresh
+    return M, best_inl
 
 
 _CMC_REGISTRY = {

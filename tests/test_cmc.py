@@ -20,6 +20,52 @@ def _load_frame():
     return cv2.resize(img, (480, 270))
 
 
+def _smooth_frame(seed=0, hw=(240, 320)):
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(seed)
+    s = gaussian_filter(rng.uniform(0, 255, hw), 3.0)
+    s = (s - s.min()) / max(np.ptp(s), 1e-9) * 255
+    return np.repeat(s[:, :, None], 3, axis=2).astype(np.uint8)
+
+
+class TestSofNumpyFallback:
+    """The cv2-free SOF path (hermetic hosts): Shi-Tomasi + pyramidal LK
+    + RANSAC similarity with the same gates as the cv2 pipeline."""
+
+    def _numpy_sof(self, **kw):
+        sof = create_cmc("sof", **kw)
+        sof._has_cv2 = False  # force the fallback even if cv2 exists
+        return sof
+
+    def test_known_shift_recovered(self):
+        img = _smooth_frame()
+        sof = self._numpy_sof(scale=0.5)
+        w0 = sof.apply(img)
+        np.testing.assert_allclose(w0, np.eye(2, 3), atol=1e-6)
+        shifted = np.roll(img, (4, 7), axis=(0, 1))  # down 4, right 7
+        w = sof.apply(shifted)
+        assert abs(w[0, 2] - 7) < 1.5 and abs(w[1, 2] - 4) < 1.5, w
+        # near-identity rotation/scale for a pure translation
+        np.testing.assert_allclose(w[:, :2], np.eye(2), atol=0.02)
+
+    def test_flat_image_identity(self):
+        sof = self._numpy_sof(scale=0.5)
+        flat = np.zeros((120, 160, 3), np.uint8)
+        sof.apply(flat)
+        w = sof.apply(flat)
+        np.testing.assert_allclose(w, np.eye(2, 3), atol=1e-6)
+
+    def test_detection_mask_excludes_boxes(self):
+        img = _smooth_frame(seed=2)
+        sof = self._numpy_sof(scale=0.5)
+        dets = np.array([[0, 0, 320, 240]], np.float32)  # mask everything
+        sof.apply(img, dets)
+        w = sof.apply(np.roll(img, 5, axis=1), dets)
+        # no usable features -> identity
+        np.testing.assert_allclose(w, np.eye(2, 3), atol=1e-6)
+
+
 @pytest.mark.parametrize("name", ["orb", "sof"])
 def test_known_shift_recovered(name):
     img = _load_frame()
