@@ -64,14 +64,19 @@ def bench_tpu():
     out = batch_replay(cfg, states, dets_batch)
     jax.block_until_ready(out)
 
-    # Median of repeated samples: the device tunnel adds run-to-run
-    # contention noise, so a single sample can swing several-fold.
+    # Median of repeated samples, each a pipelined batch of launches
+    # with ONE sync: a single scan finishes in well under a millisecond,
+    # so per-launch sync would measure the device tunnel's round trip
+    # (and its contention noise), not the tracker.  No device->host
+    # result reads happen before timing ends — the tunnel's first d2h
+    # read switches dispatch into a synchronous mode (docs/performance.md).
+    pipeline = 10
     samples = []
     for _ in range(11):
         t0 = time.perf_counter()
-        out = batch_replay(cfg, states, dets_batch)
-        jax.block_until_ready(out)
-        samples.append(time.perf_counter() - t0)
+        outs = [batch_replay(cfg, states, dets_batch) for _ in range(pipeline)]
+        jax.block_until_ready(outs)
+        samples.append((time.perf_counter() - t0) / pipeline)
     dt = sorted(samples)[len(samples) // 2]
     return N_SEQS * N_FRAMES / dt
 

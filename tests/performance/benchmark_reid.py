@@ -1,0 +1,134 @@
+"""ReID embedding throughput benchmark (the BASELINE "embeddings/sec").
+
+Measures the full device pipeline — crop + resize + standardize + model
+forward + L2 norm, one XLA program per crop-count bucket — on the
+default backend (real TPU when available).  Embeddings/sec counts
+crops, matching the reference's staged ReID timing convention
+(boxmot/utils/timing.py add_reid_phase_time).
+
+Two passes per model:
+  * device: frame/boxes staged on device, pipelined launches with one
+    sync per batch — the XLA program time (replay-pipeline shape).
+  * host: `get_features` end-to-end incl. frame upload + result
+    download.
+
+ALL device passes run before ANY host pass: through this environment's
+axon tunnel, the first device->host result read permanently switches
+dispatch into a synchronous ~60 ms/round-trip mode, which would poison
+later device measurements.
+
+Usage::
+
+    python -m tests.performance.benchmark_reid \
+        --models osnet_x0_25,osnet_x1_0 --counts 16,64 --repeat 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+DEFAULT_MODELS = ("osnet_x0_25", "osnet_x1_0")
+DEFAULT_COUNTS = (16, 64, 128)
+IMG_HW = (1080, 1920)
+
+
+def _boxes(rng, n):
+    x = rng.uniform(0, IMG_HW[1] - 200, n)
+    y = rng.uniform(0, IMG_HW[0] - 300, n)
+    return np.stack(
+        [x, y, x + rng.uniform(40, 160, n), y + rng.uniform(90, 280, n)], axis=-1
+    ).astype(np.float32)
+
+
+def bench_device(reid, img, boxes, repeat, pipeline=20):
+    import jax
+    import jax.numpy as jnp
+
+    n = len(boxes)
+    img_d = jax.device_put(jnp.asarray(img))
+    boxes_d = jax.device_put(jnp.asarray(boxes))
+    valid_d = jax.device_put(jnp.ones((n,), bool))
+    out = reid._forward(reid.variables, img_d, boxes_d, valid_d)
+    jax.block_until_ready(out)
+    samples = []
+    for _ in range(max(repeat // 4, 3)):
+        t0 = time.perf_counter()
+        outs = [
+            reid._forward(reid.variables, img_d, boxes_d, valid_d)
+            for _ in range(pipeline)
+        ]
+        jax.block_until_ready(outs)
+        samples.append((time.perf_counter() - t0) / pipeline)
+    return float(np.median(samples))
+
+
+def bench_host(reid, img, boxes, repeat):
+    reid.get_features(boxes, img)  # warmup the padded-bucket entry
+    samples = []
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        reid.get_features(boxes, img)
+        samples.append(time.perf_counter() - t0)
+    return float(np.median(samples))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default=",".join(DEFAULT_MODELS))
+    ap.add_argument("--counts", default=",".join(map(str, DEFAULT_COUNTS)))
+    ap.add_argument("--repeat", type=int, default=20)
+    ap.add_argument("--json", dest="json_path", default=None)
+    args = ap.parse_args(argv)
+    models = [m.strip() for m in args.models.split(",") if m.strip()]
+    counts = [int(c) for c in args.counts.split(",") if c.strip()]
+
+    from boxmot_tpu.reid.core import ReID
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (*IMG_HW, 3), np.uint8)
+    reids = {m: ReID(model_name=m) for m in models}
+    boxes = {n: _boxes(rng, n) for n in counts}
+
+    rows = []
+    for m in models:  # pass 1: device-resident (no d2h reads yet)
+        for n in counts:
+            dt = bench_device(reids[m], img, boxes[n], args.repeat)
+            rows.append(
+                {
+                    "model": m,
+                    "crops": n,
+                    "ms_per_frame_device": round(dt * 1e3, 3),
+                    "embeddings_per_s": round(n / dt, 1),
+                }
+            )
+            print(json.dumps(rows[-1]))
+    i = 0
+    for m in models:  # pass 2: host end-to-end
+        for n in counts:
+            dt = bench_host(reids[m], img, boxes[n], args.repeat)
+            rows[i]["ms_per_frame_host"] = round(dt * 1e3, 3)
+            rows[i]["embeddings_per_s_host"] = round(n / dt, 1)
+            i += 1
+
+    print(
+        f"\n{'model':<16}{'crops':>6}{'ms dev':>9}{'ms host':>9}"
+        f"{'emb/s dev':>11}{'emb/s host':>12}"
+    )
+    for r in rows:
+        print(
+            f"{r['model']:<16}{r['crops']:>6}{r['ms_per_frame_device']:>9.2f}"
+            f"{r['ms_per_frame_host']:>9.2f}{r['embeddings_per_s']:>11.0f}"
+            f"{r['embeddings_per_s_host']:>12.0f}"
+        )
+    if args.json_path:
+        with open(args.json_path, "w") as f:
+            json.dump(rows, f, indent=1)
+    return rows
+
+
+if __name__ == "__main__":
+    main()
