@@ -68,6 +68,54 @@ def test_backend_dispatch(tmp_path):
         assert backend.feature_dim == 512
 
 
+def test_generate_caches_with_native_reid(tmp_path):
+    """The generate pipeline accepts the native ReID backend (the
+    reference's cpp generate path, engine/tracking/inference.py:137-157)."""
+    from PIL import Image
+
+    from boxmot_tpu.engine.generate import run_generate
+    from boxmot_tpu.native.reid import CppReID, export_native_reid
+    from boxmot_tpu.reid.core import ReID
+
+    # tiny synthetic MOT sequence: 3 frames, 2 dets each
+    seq = tmp_path / "data" / "SYN-01"
+    (seq / "img1").mkdir(parents=True)
+    (seq / "det").mkdir()
+    rng = np.random.default_rng(0)
+    for f in range(1, 4):
+        Image.fromarray(
+            rng.integers(0, 256, (64, 96, 3), np.uint8)
+        ).save(seq / "img1" / f"{f:06d}.jpg")
+    rows = []
+    for f in range(1, 4):
+        rows.append(f"{f},-1,10,8,30,40,0.9\n")
+        rows.append(f"{f},-1,50,12,28,44,0.8\n")
+    (seq / "det" / "det.txt").write_text("".join(rows))
+    (seq / "seqinfo.ini").write_text(
+        "[Sequence]\nname=SYN-01\nimDir=img1\nframeRate=30\n"
+        "seqLength=3\nimWidth=96\nimHeight=64\nimExt=.jpg\n"
+    )
+
+    reid = ReID(model_name="osnet_x0_25")
+    manifest = export_native_reid("osnet_x0_25", reid.variables, tmp_path / "m")
+    cpp = CppReID(manifest)
+    stats = run_generate(
+        tmp_path / "data",
+        tmp_path / "cache",
+        reid_model=cpp,
+        reid_name="osnet_native",
+        frame_cache=False,
+    )
+    assert stats["SYN-01"]["dets"] == 6
+    assert stats["SYN-01"]["embs"] == 6
+    embs = np.load(
+        tmp_path / "cache" / "public" / "embs" / "osnet_native" / "resize" / "SYN-01.npy"
+    )
+    assert embs.shape == (6, 1 + 512)
+    norms = np.linalg.norm(embs[:, 1:], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
 def test_export_rejects_non_osnet(tmp_path):
     from boxmot_tpu.native.reid import export_native_reid
 
