@@ -302,11 +302,13 @@ def deepocsort_step(cfg: DeepOcSortConfig, state: DeepOcSortState, dets, det_val
     dy = (z2[:, 1] - m1_[:, 1]) / gapf
     dw = (w2 - w1) / gapf
     dh = (h2 - h1) / gapf
-    for i in range(1, MAX_ORU + 1):
+    def _oru_body(i, carry):
+        mean, cov = carry
         act_i = rejoin & (i <= gap)
-        if i > 1:
-            mean, cov = kalman.predict(layout, mean, cov, act_i)
-        fi = jnp.float32(i)
+        pmean_i, pcov_i = kalman.predict(layout, mean, cov, act_i)
+        mean = jnp.where(i > 1, pmean_i, mean)
+        cov = jnp.where(i > 1, pcov_i, cov)
+        fi = i.astype(jnp.float32)
         xi = m1_[:, 0] + fi * dx
         yi = m1_[:, 1] + fi * dy
         wi = w1 + fi * dw
@@ -320,9 +322,18 @@ def deepocsort_step(cfg: DeepOcSortConfig, state: DeepOcSortState, dets, det_val
             ],
             axis=-1,
         )
-        mean, cov = kalman.update(
-            layout, mean, cov, zi, jnp.zeros((K,), jnp.float32), act_i
+        return kalman.update(layout, mean, cov, zi, jnp.zeros((K,), jnp.float32), act_i)
+
+    def _oru_replay(carry):
+        n_steps = jnp.minimum(jnp.max(jnp.where(rejoin, gap, 0)), MAX_ORU).astype(
+            jnp.int32
         )
+        return jax.lax.fori_loop(jnp.int32(1), n_steps + 1, _oru_body, carry)
+
+    # rejoin-free frames skip the whole replay (single-branch XLA cond)
+    mean, cov = jax.lax.cond(
+        jnp.any(rejoin), _oru_replay, lambda carry: carry, (mean, cov)
+    )
 
     mean, cov = kalman.update(
         layout, mean, cov, z2, jnp.zeros((K,), jnp.float32), matched

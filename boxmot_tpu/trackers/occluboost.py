@@ -538,45 +538,55 @@ def occluboost_step(cfg: OccluBoostConfig, state: OccluBoostState, dets, det_val
     # build the (MAX_RES, MAX_GAP_FILL, 9) candidate block vectorized and
     # append all valid rows to the buffer with a single prefix-sum scatter.
     if cfg.gta_enabled and cfg.with_reid and cfg.gta_interpolate:
-        order = jnp.argsort(~res_det)[:MAX_RES_PER_FRAME]  # resurrected first
-        d_i = order  # (R,)
-        valid_r = res_det[d_i]
-        gs = res_gslot[d_i]
-        death = g_frame[gs]  # (R,)
-        gap = frame - death
-        do_fill = valid_r & (gap > 1) & (gap <= cfg.gta_max_gap)
-        last_box = g_box[gs]  # (R, 4)
-        cur_box = det_box[d_i][:, :4]  # (R, 4); OBB drops theta (ref quirk)
-        t_steps = jnp.arange(1, MAX_GAP_FILL, dtype=jnp.int32)  # (T,)
-        in_gap = do_fill[:, None] & (t_steps[None, :] < gap[:, None])  # (R, T)
-        a_t = t_steps[None, :].astype(jnp.float32) / jnp.maximum(
-            gap[:, None].astype(jnp.float32), 1.0
-        )
-        ib = (1 - a_t)[..., None] * last_box[:, None, :] + a_t[..., None] * cur_box[:, None, :]
-        frames_rt = (death[:, None] + t_steps[None, :]).astype(jnp.float32)
-        ids_rt = jnp.broadcast_to(
-            res_gid[d_i][:, None].astype(jnp.float32), frames_rt.shape
-        )
-        conf_rt = jnp.broadcast_to(g_conf[gs][:, None], frames_rt.shape)
-        cls_rt = jnp.broadcast_to(g_cls[gs][:, None], frames_rt.shape)
-        rows = jnp.concatenate(
-            [
-                frames_rt[..., None],
-                ids_rt[..., None],
-                ib,
-                conf_rt[..., None],
-                cls_rt[..., None],
-                jnp.full(frames_rt.shape + (1,), -1.0, jnp.float32),
-            ],
-            axis=-1,
-        ).reshape(-1, 9)
-        flat_valid = in_gap.reshape(-1)
-        offsets = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
-        pos = jnp.where(flat_valid, gap_count + offsets, GAP_BUF)
-        pos = jnp.where(pos >= GAP_BUF, GAP_BUF, pos)  # drop on overflow
-        gap_rows = gap_rows.at[pos].set(rows, mode="drop")
-        gap_count = jnp.minimum(
-            gap_count + jnp.sum(flat_valid.astype(jnp.int32)), GAP_BUF
+
+        def _gap_fill(carry):
+            gap_rows, gap_count = carry
+            order = jnp.argsort(~res_det)[:MAX_RES_PER_FRAME]  # resurrected first
+            d_i = order  # (R,)
+            valid_r = res_det[d_i]
+            gs = res_gslot[d_i]
+            death = g_frame[gs]  # (R,)
+            gap = frame - death
+            do_fill = valid_r & (gap > 1) & (gap <= cfg.gta_max_gap)
+            last_box = g_box[gs]  # (R, 4)
+            cur_box = det_box[d_i][:, :4]  # (R, 4); OBB drops theta (ref quirk)
+            t_steps = jnp.arange(1, MAX_GAP_FILL, dtype=jnp.int32)  # (T,)
+            in_gap = do_fill[:, None] & (t_steps[None, :] < gap[:, None])  # (R, T)
+            a_t = t_steps[None, :].astype(jnp.float32) / jnp.maximum(
+                gap[:, None].astype(jnp.float32), 1.0
+            )
+            ib = (1 - a_t)[..., None] * last_box[:, None, :] + a_t[..., None] * cur_box[:, None, :]
+            frames_rt = (death[:, None] + t_steps[None, :]).astype(jnp.float32)
+            ids_rt = jnp.broadcast_to(
+                res_gid[d_i][:, None].astype(jnp.float32), frames_rt.shape
+            )
+            conf_rt = jnp.broadcast_to(g_conf[gs][:, None], frames_rt.shape)
+            cls_rt = jnp.broadcast_to(g_cls[gs][:, None], frames_rt.shape)
+            rows = jnp.concatenate(
+                [
+                    frames_rt[..., None],
+                    ids_rt[..., None],
+                    ib,
+                    conf_rt[..., None],
+                    cls_rt[..., None],
+                    jnp.full(frames_rt.shape + (1,), -1.0, jnp.float32),
+                ],
+                axis=-1,
+            ).reshape(-1, 9)
+            flat_valid = in_gap.reshape(-1)
+            offsets = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
+            pos = jnp.where(flat_valid, gap_count + offsets, GAP_BUF)
+            pos = jnp.where(pos >= GAP_BUF, GAP_BUF, pos)  # drop on overflow
+            gap_rows = gap_rows.at[pos].set(rows, mode="drop")
+            gap_count = jnp.minimum(
+                gap_count + jnp.sum(flat_valid.astype(jnp.int32)), GAP_BUF
+            )
+            return gap_rows, gap_count
+
+        # resurrections are rare — frames without one skip the whole
+        # interpolation block (single-branch XLA cond)
+        gap_rows, gap_count = jax.lax.cond(
+            jnp.any(res_det), _gap_fill, lambda carry: carry, (gap_rows, gap_count)
         )
 
     # --- emission + duplicate suppression (occluboost.py:427-475, 869-905)

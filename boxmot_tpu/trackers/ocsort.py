@@ -325,12 +325,14 @@ def ocsort_step(cfg: OcSortConfig, state: OcSortState, dets, det_valid):
             )
         return mean, cov
 
-    for i in range(1, MAX_ORU + 1):
+    def _oru_body(i, carry):
+        mean, cov = carry
         act_i = rejoin & (i <= gap)
-        if i > 1:
-            # predict between interpolated updates (not after the last one)
-            mean, cov = kalman.predict(layout, mean, cov, act_i)
-        fi = jnp.float32(i)
+        # predict between interpolated updates (not before the first one)
+        pmean_i, pcov_i = kalman.predict(layout, mean, cov, act_i)
+        mean = jnp.where(i > 1, pmean_i, mean)
+        cov = jnp.where(i > 1, pcov_i, cov)
+        fi = i.astype(jnp.float32)
         xi = m1_[:, 0] + fi * dx
         yi = m1_[:, 1] + fi * dy
         wi = w1 + fi * dw
@@ -344,7 +346,24 @@ def ocsort_step(cfg: OcSortConfig, state: OcSortState, dets, det_valid):
             zi = kalman.align_obb_xysr(zi, mean[:, :5])
         else:
             zi = jnp.stack([xi, yi, si, ri], axis=-1)
-        mean, cov = _masked_update(mean, cov, zi, act_i)
+        return _masked_update(mean, cov, zi, act_i)
+
+    def _oru_replay(carry):
+        # bounded loop instead of MAX_ORU unrolled updates; ends at the
+        # largest live gap so short occlusions don't pay the full bound
+        n_steps = jnp.minimum(
+            jnp.max(jnp.where(rejoin, gap, 0)), MAX_ORU
+        ).astype(jnp.int32)
+        return jax.lax.fori_loop(
+            jnp.int32(1), n_steps + 1, _oru_body, carry
+        )
+
+    # the replay only runs on frames where some track actually rejoins —
+    # XLA conditionals execute a single branch on TPU, so miss-free
+    # frames skip the whole ORU block
+    mean, cov = jax.lax.cond(
+        jnp.any(rejoin), _oru_replay, lambda carry: carry, (mean, cov)
+    )
 
     # --- regular measurement update for every matched slot
     mean, cov = _masked_update(mean, cov, z2, matched)
