@@ -67,6 +67,29 @@ def test_replay_executable_matches_inprocess(tmp_path):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_cli_eval_cpp_backend(tmp_path):
+    """`eval --tracker name:cpp` runs the native cores through the CLI."""
+    from click.testing import CliRunner
+
+    from boxmot_tpu.engine.cli import cli
+
+    result = CliRunner().invoke(
+        cli,
+        [
+            "eval",
+            "--data",
+            str(FIXTURE),
+            "--tracker",
+            "ocsort:cpp",
+            "--output-dir",
+            str(tmp_path),
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    assert "HOTA" in result.output
+    assert (tmp_path / "MOT17-02-FRCNN.txt").exists()
+
+
 def test_replay_executable_min_conf(tmp_path):
     """min_conf filters detections before tracking."""
     from boxmot_tpu.engine.mot_io import read_mot_results
