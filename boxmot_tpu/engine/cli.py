@@ -58,7 +58,9 @@ def cli():
               help="tune-kf JSON; injects calibrated KF std weights")
 @click.option("--tuned", default=None,
               help="benchmark-tuned config id, e.g. occluboost_mot17_ablation")
-def eval(data, benchmark, split, tracker, output_dir, cache_root, detector, reid, min_det_conf, postprocessing, param, plots_dir, use_rich, kf_noise, tuned):
+@click.option("--n-workers", type=int, default=1, show_default=True,
+              help="sequence thread pool size (cpp backend only)")
+def eval(data, benchmark, split, tracker, output_dir, cache_root, detector, reid, min_det_conf, postprocessing, param, plots_dir, use_rich, kf_noise, tuned, n_workers):
     """Replay cached detections and report HOTA / MOTA / IDF1."""
     from boxmot_tpu.engine.eval import run_eval
 
@@ -110,6 +112,7 @@ def eval(data, benchmark, split, tracker, output_dir, cache_root, detector, reid
         min_det_conf=min_det_conf,
         postprocessing=postprocessing,
         verbose=True,
+        n_workers=n_workers,
         kf_noise=kf_noise,
     )
     c = res["combined"]

@@ -82,6 +82,7 @@ def run_eval(
     postprocessing: str | None = None,
     verbose: bool = False,
     kf_noise=None,
+    n_workers: int = 1,
 ) -> dict:
     """Evaluate a tracker over all sequences under data_root.
 
@@ -117,8 +118,7 @@ def run_eval(
         cfg = None
     else:
         cfg = build_replay_config(tracker_type, **tracker_params)
-    seq_data = {}
-    for seq in dataset:
+    def _process(seq):
         embs = None
         # motion-only tracker configs carry no feat_dim; cached embeddings
         # are ignored for them (the reference replay does the same)
@@ -158,11 +158,31 @@ def run_eval(
             mot_rows = rows
         if output_dir is not None:
             write_mot_results(Path(output_dir) / f"{seq.name}.txt", mot_rows)
-        seq_data[seq.name] = preprocess_sequence(
+        entry = preprocess_sequence(
             seq.gt(), mot_rows.astype(np.float64), seq.seq_length
         )
         if verbose:
             print(f"replayed {seq.name}: {len(mot_rows)} track rows")
+        return seq.name, entry
+
+    seq_data = {}
+    if tracker_backend == "cpp" and n_workers > 1 and len(dataset) > 1:
+        # the native cores release the GIL inside bmt_tracker_update, so
+        # a thread pool over sequences parallelizes on multi-core hosts
+        # (the reference's per-sequence replay pool,
+        # engine/eval/replay.py:372-445)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            for name, entry in pool.map(_process, dataset):
+                seq_data[name] = entry
+    else:
+        # the device path stays serial: one chip, one replay program at a
+        # time (multi-chip spreads sequences over a Mesh instead —
+        # boxmot_tpu/parallel/replay.py)
+        for seq in dataset:
+            name, entry = _process(seq)
+            seq_data[name] = entry
     results = evaluate_sequences(seq_data)
     if verbose:
         c = results["combined"]

@@ -67,6 +67,17 @@ def test_replay_executable_matches_inprocess(tmp_path):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_eval_cpp_thread_pool_matches_serial():
+    """n_workers > 1 replays sequences in a thread pool with identical
+    metrics (the reference's per-sequence replay pool)."""
+    from boxmot_tpu.engine.eval import run_eval
+
+    serial = run_eval(FIXTURE, tracker_type="bytetrack:cpp")
+    pooled = run_eval(FIXTURE, tracker_type="bytetrack:cpp", n_workers=4)
+    for metric in ("HOTA", "MOTA", "IDF1"):
+        assert serial["combined"][metric] == pooled["combined"][metric]
+
+
 def test_cli_eval_cpp_backend(tmp_path):
     """`eval --tracker name:cpp` runs the native cores through the CLI."""
     from click.testing import CliRunner
