@@ -29,6 +29,7 @@ def _bind(lib):
     lib.bmt_tracker_destroy.argtypes = [ctypes.c_void_p]
     lib.bmt_tracker_reset.argtypes = [ctypes.c_void_p]
     lib.bmt_tracker_capacity.argtypes = [ctypes.c_void_p]
+    lib.bmt_tracker_out_cols.argtypes = [ctypes.c_void_p]
     lib.bmt_tracker_update.restype = ctypes.c_int64
     lib.bmt_tracker_update.argtypes = [
         ctypes.c_void_p,
@@ -219,13 +220,13 @@ class NativeTracker:
                 f"native {tracker_type} is motion-only; use the device "
                 "program for the ReID path"
             )
-        cfg = ";".join(
+        self._cfg = ";".join(
             f"{k}={float(params[k])}"
             for k in keys
             if params.get(k) is not None
         )
         self._handle = lib.bmt_tracker_create(
-            tracker_type.encode(), cfg.encode()
+            tracker_type.encode(), self._cfg.encode()
         )
         if not self._handle:
             raise RuntimeError(lib.bmt_tracker_last_error().decode())
@@ -235,16 +236,44 @@ class NativeTracker:
         self.frame_count = 0
         self.is_obb = False
         self.per_class = False
+        self._layout_locked = False
+
+    def _switch_to_obb(self):
+        """Recreate the handle as the OBB core on first (N, 7) dets
+        (the device trackers' layout inference, trackers/base.py:136-144)."""
+        name = f"{self.tracker_type}_obb"
+        handle = self._lib.bmt_tracker_create(name.encode(), self._cfg.encode())
+        if not handle:
+            raise AssertionError(
+                f"native {self.tracker_type} does not support OBB detections "
+                f"({self._lib.bmt_tracker_last_error().decode()})"
+            )
+        self._lib.bmt_tracker_destroy(self._handle)
+        self._handle = handle
+        self.is_obb = True
+        self._out = np.empty(
+            (self.capacity, self._lib.bmt_tracker_out_cols(handle)), np.float32
+        )
 
     def update(self, dets, img=None, embs=None, masks=None) -> TrackResults:
         if dets is None:
-            dets = np.empty((0, 6), np.float32)
+            dets = np.empty((0, 7 if self.is_obb else 6), np.float32)
         if hasattr(dets, "data") and not isinstance(dets, np.ndarray):
             dets = dets.data
         dets = np.ascontiguousarray(dets, np.float32)
-        if dets.ndim != 2 or dets.shape[1] != 6:
+        if dets.ndim != 2 or dets.shape[1] not in (6, 7):
             raise AssertionError(
-                "native trackers take (N, 6) [x1,y1,x2,y2,conf,cls] dets"
+                "native trackers take (N, 6) [x1,y1,x2,y2,conf,cls] or "
+                "(N, 7) [cx,cy,w,h,angle,conf,cls] dets"
+            )
+        if not self._layout_locked and len(dets):
+            if dets.shape[1] == 7:
+                self._switch_to_obb()
+            self._layout_locked = True
+        if dets.shape[1] != (7 if self.is_obb else 6) and len(dets):
+            raise AssertionError(
+                f"detection layout changed mid-stream "
+                f"(expected {7 if self.is_obb else 6} cols, got {dets.shape[1]})"
             )
         dp = dets.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         op = self._out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))

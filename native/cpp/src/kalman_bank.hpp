@@ -268,6 +268,70 @@ struct XywhLayout {
     }
 };
 
+// [cx, cy, w, h, theta] + velocities — ByteTrack-OBB / BotSort-OBB
+// (mirrors kalman.make_xywh_layout, obb=True).  Angle wrapping is done
+// by the caller via obb_common.wrap_angle in enforce-equivalent spots;
+// here only w/h are clamped (matching the jnp enforce's clamp +
+// wrap — wrap handled below through the wrap hook).
+struct XywhObbLayout {
+    static constexpr int DZ = 5;
+    static constexpr int DX = 10;
+    float swp = 1.0f / 20.0f;
+    float swv = 1.0f / 160.0f;
+
+    bool nsa() const { return false; }
+
+    void apply_motion(const float* x, float* out) const {
+        for (int i = 0; i < 5; ++i) out[i] = x[i] + x[i + 5];
+        for (int i = 5; i < 10; ++i) out[i] = x[i];
+    }
+
+    void init_std(const float* z, float* std) const {
+        float w = z[2], h = z[3];
+        std[0] = 2 * swp * w;
+        std[1] = 2 * swp * h;
+        std[2] = 2 * swp * w;
+        std[3] = 2 * swp * h;
+        std[4] = 1e-2f;
+        std[5] = 10 * swv * w;
+        std[6] = 10 * swv * h;
+        std[7] = 10 * swv * w;
+        std[8] = 10 * swv * h;
+        std[9] = 1e-5f;
+    }
+
+    void process_std(const float* mean, float* std) const {
+        float w = mean[2], h = mean[3];
+        std[0] = swp * w;
+        std[1] = swp * h;
+        std[2] = swp * w;
+        std[3] = swp * h;
+        std[4] = 1e-2f;
+        std[5] = swv * w;
+        std[6] = swv * h;
+        std[7] = swv * w;
+        std[8] = swv * h;
+        std[9] = 1e-5f;
+    }
+
+    void meas_std(const float* mean, float* std) const {
+        float w = mean[2], h = mean[3];
+        std[0] = swp * w;
+        std[1] = swp * h;
+        std[2] = swp * w;
+        std[3] = swp * h;
+        std[4] = 1e-1f;
+    }
+
+    void enforce(float* mean) const {
+        mean[2] = std::max(mean[2], 1e-4f);
+        mean[3] = std::max(mean[3], 1e-4f);
+        // angle wrap to [-pi, pi) (ops/geometry.wrap_angle)
+        const float pi = 3.14159265358979323846f;
+        mean[4] = mean[4] - 2.0f * pi * std::floor((mean[4] + pi) / (2.0f * pi));
+    }
+};
+
 // [cx, cy, s=area, r=aspect] + (vx, vy, vs) — OC-SORT's 7-D filter with
 // constant noise (mirrors kalman.make_xysr_layout, obb=False).
 struct XysrLayout {

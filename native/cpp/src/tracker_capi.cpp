@@ -27,6 +27,12 @@ namespace {
 thread_local std::string g_tracker_error;
 
 template <class T, class = void>
+struct has_out_cols : std::false_type {};
+template <class T>
+struct has_out_cols<T, std::void_t<decltype(std::declval<const T&>().out_cols())>>
+    : std::true_type {};
+
+template <class T, class = void>
 struct has_step_img : std::false_type {};
 template <class T>
 struct has_step_img<T, std::void_t<decltype(std::declval<T&>().step_img(
@@ -42,6 +48,7 @@ struct TrackerHandle {
     virtual int64_t step_img(const float* dets, int64_t n, const uint8_t* img,
                              int64_t H, int64_t W, float* out) = 0;
     virtual int capacity() const = 0;
+    virtual int out_cols() const = 0;
 };
 
 template <class Core>
@@ -62,6 +69,13 @@ struct HandleImpl final : TrackerHandle {
         }
     }
     int capacity() const override { return core.capacity(); }
+    int out_cols() const override {
+        if constexpr (has_out_cols<Core>::value) {
+            return core.out_cols();
+        } else {
+            return 8;
+        }
+    }
 };
 
 }  // namespace
@@ -81,6 +95,14 @@ void* bmt_tracker_create(const char* name, const char* config) {
             return nullptr;
         }
         return new HandleImpl<boxmot::ByteTrackCore>(boxmot::ByteTrackCore(cfg));
+    }
+    if (n == "bytetrack_obb") {
+        auto cfg = boxmot::ByteTrackConfig::from_string(config);
+        if (cfg.capacity <= 0 || cfg.capacity > (1 << 16)) {
+            g_tracker_error = "bad capacity";
+            return nullptr;
+        }
+        return new HandleImpl<boxmot::ByteTrackObbCore>(boxmot::ByteTrackObbCore(cfg));
     }
     if (n == "ocsort") {
         auto cfg = boxmot::OcSortConfig::from_string(config);
@@ -139,6 +161,11 @@ int bmt_tracker_reset(void* h) {
 
 int bmt_tracker_capacity(void* h) {
     return h ? static_cast<TrackerHandle*>(h)->capacity() : -1;
+}
+
+// output row width: 8 (AABB) or 9 (OBB: xywha + id/conf/cls/det_ind)
+int bmt_tracker_out_cols(void* h) {
+    return h ? static_cast<TrackerHandle*>(h)->out_cols() : -1;
 }
 
 // dets: (n, 6) [x1,y1,x2,y2,conf,cls] float32 row-major.  out must hold

@@ -340,6 +340,56 @@ class TestParityVsDevice:
         assert emitted[0] == 0  # tentative on birth
         assert emitted[-1] == 1  # confirmed after repeated hits
 
+    def test_bytetrack_obb_scene_parity(self):
+        """OBB layout inference + rotated tracking matches the device
+        program frame-by-frame."""
+        from boxmot_tpu.trackers.bytetrack import ByteTrack
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        rng = np.random.default_rng(5)
+        jax_trk = ByteTrack()
+        cpp_trk = create_tracker("bytetrack:cpp")
+        base = np.array(
+            [
+                [100, 100, 60, 24, 0.3],
+                [300, 150, 40, 80, -0.8],
+                [200, 300, 70, 30, 1.2],
+            ],
+            np.float64,
+        )
+        vel = rng.uniform(-4, 4, (3, 2))
+        for f in range(30):
+            dets = base.copy()
+            dets[:, :2] += vel * f
+            dets[:, 4] += 0.02 * f
+            dets[:, 2:4] *= rng.uniform(0.97, 1.03, (3, 2))
+            keep = rng.uniform(size=3) > 0.15  # dropouts
+            d = np.column_stack(
+                [dets[keep], rng.uniform(0.6, 0.95, keep.sum()), np.zeros(keep.sum())]
+            ).astype(np.float32)
+            out_j = np.asarray(jax_trk.update(d, IMG))
+            out_c = np.asarray(cpp_trk.update(d, IMG))
+            assert cpp_trk.is_obb
+            assert out_j.shape == out_c.shape, f"frame {f}"
+            ids_j = {int(r[5]): r for r in out_j}
+            ids_c = {int(r[5]): r for r in out_c}
+            assert set(ids_j) == set(ids_c), f"frame {f}"
+            for tid, rj in ids_j.items():
+                rc = ids_c[tid]
+                np.testing.assert_allclose(
+                    rc[:4], rj[:4], atol=0.7, err_msg=f"frame {f} id {tid} box"
+                )
+                assert abs(rc[4] - rj[4]) < 0.05, f"frame {f} id {tid} angle"
+                assert rc[8] == rj[8]
+
+    def test_obb_unsupported_native_raises(self):
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        trk = create_tracker("sfsort:cpp")
+        dets = np.array([[100, 100, 60, 24, 0.4, 0.9, 0]], np.float32)
+        with pytest.raises(AssertionError, match="OBB"):
+            trk.update(dets, IMG)
+
     def test_boosttrack_reid_rejected(self):
         from boxmot_tpu.native.trackers import NativeTracker
 
