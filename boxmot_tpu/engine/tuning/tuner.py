@@ -54,7 +54,12 @@ class Tuner:
         self.data_root = Path(data_root)
         self.tracker_type = tracker_type
         self.base_params = dict(base_params or {})
-        self.specs = search_space or load_tracker_config(tracker_type)
+        # "name:cpp" tunes over the native cores; the search space comes
+        # from the plain tracker name
+        from boxmot_tpu.trackers.zoo import parse_tracker_spec
+
+        base_name, _ = parse_tracker_spec(tracker_type)
+        self.specs = search_space or load_tracker_config(base_name)
         self.objective = objective
         self.work_dir = Path(work_dir) if work_dir else None
         self.rng = np.random.default_rng(seed)

@@ -78,6 +78,18 @@ def test_eval_cpp_thread_pool_matches_serial():
         assert serial["combined"][metric] == pooled["combined"][metric]
 
 
+def test_tune_over_cpp_backend(tmp_path):
+    """Hyperparameter trials replay on the native cores (cheap CPU
+    trials, the reference's Ray-Tune-over-replay pattern)."""
+    from boxmot_tpu.engine.tuning.tuner import run_tune
+
+    best = run_tune(
+        FIXTURE, "bytetrack:cpp", n_trials=2, work_dir=tmp_path, seed=0
+    )
+    assert "params" in best and "track_thresh" in best["params"]
+    assert (tmp_path / "trials.json").exists()
+
+
 def test_cli_eval_cpp_backend(tmp_path):
     """`eval --tracker name:cpp` runs the native cores through the CLI."""
     from click.testing import CliRunner
