@@ -373,6 +373,52 @@ struct XysrLayout {
     }
 };
 
+// [cx, cy, s=area, r=aspect, theta] + (vx, vy, vs, vtheta) — OC-SORT's
+// 9-D OBB filter (mirrors kalman.make_xysr_layout, obb=True; q_a takes
+// q_s's value as the reference passes Q_a_scaling=Q_s_scaling).
+struct XysrObbLayout {
+    static constexpr int DZ = 5;
+    static constexpr int DX = 9;
+    float q_xy = 0.01f;
+    float q_s = 0.0001f;
+
+    bool nsa() const { return false; }
+
+    void apply_motion(const float* x, float* out) const {
+        out[0] = x[0] + x[5];
+        out[1] = x[1] + x[6];
+        out[2] = x[2] + x[7];
+        out[3] = x[3];
+        out[4] = x[4] + x[8];
+        for (int i = 5; i < 9; ++i) out[i] = x[i];
+    }
+
+    void init_std(const float*, float* std) const {
+        for (int i = 0; i < 5; ++i) std[i] = std::sqrt(10.0f);
+        for (int i = 5; i < 9; ++i) std[i] = std::sqrt(10000.0f);
+    }
+
+    void process_std(const float*, float* std) const {
+        for (int i = 0; i < 5; ++i) std[i] = 1.0f;
+        std[5] = std::sqrt(q_xy);
+        std[6] = std::sqrt(q_xy);
+        std[7] = std::sqrt(q_s);
+        std[8] = std::sqrt(q_s);  // q_a = q_s (reference quirk)
+    }
+
+    void meas_std(const float*, float* std) const {
+        const float r[5] = {1.f, 1.f, 10.f, 10.f, 10.f};
+        for (int i = 0; i < 5; ++i) std[i] = std::sqrt(r[i]);
+    }
+
+    void enforce(float* mean) const {
+        mean[2] = std::max(mean[2], 1e-6f);
+        mean[3] = std::max(mean[3], 1e-6f);
+        const float pi = 3.14159265358979323846f;
+        mean[4] = mean[4] - 2.0f * pi * std::floor((mean[4] + pi) / (2.0f * pi));
+    }
+};
+
 // [x, y, h, r=w/h] + velocities with BoostTrack's constant noise policy
 // (mirrors kalman.make_xyhr_layout, obb=False).
 struct XyhrLayout {

@@ -113,6 +113,61 @@ inline void align_obb_to_ref(const float* meas, const float* ref, float* out,
     out[4] = best_t;
 }
 
+// Resolve the OBB parameterization ambiguity in XYSR measurement space
+// (kalman.align_obb_xysr): candidates (r, th), (r, th+pi),
+// (1/r, th+pi/2), (1/r, th-pi/2).  z/ref: [cx, cy, s, r, theta].
+inline void align_obb_xysr(const float* z, const float* ref, float* out,
+                           float size_weight = 0.05f) {
+    const float eps = 1e-6f;
+    float r = std::max(z[3], eps);
+    float th = wrap_angle(z[4]);
+    float ref_r = std::max(ref[3], eps);
+    float ref_th = ref[4];
+    const float pi = static_cast<float>(M_PI);
+    const float cr[4] = {r, r, 1.0f / r, 1.0f / r};
+    const float ct[4] = {th, th + pi, th + pi / 2, th - pi / 2};
+    int best = 0;
+    float best_cost = 1e30f, best_t = 0.0f;
+    for (int k = 0; k < 4; ++k) {
+        float aligned = ref_th + wrap_angle(ct[k] - ref_th);
+        float cost = std::abs(aligned - ref_th) +
+                     size_weight * std::abs(std::log(cr[k] / ref_r));
+        if (cost < best_cost) {
+            best_cost = cost;
+            best = k;
+            best_t = aligned;
+        }
+    }
+    out[0] = z[0];
+    out[1] = z[1];
+    out[2] = std::max(z[2], eps);
+    out[3] = std::max(cr[best], eps);
+    out[4] = best_t;
+}
+
+// (cx, cy, w, h, theta) -> XYSR measurement [cx, cy, s, r, theta]
+// (geometry.obb2xysr)
+inline void obb_to_xysr(const float* b, float* z) {
+    float w = std::max(b[2], 1e-6f);
+    float h = std::max(b[3], 1e-6f);
+    z[0] = b[0];
+    z[1] = b[1];
+    z[2] = w * h;
+    z[3] = w / h;
+    z[4] = b[4];
+}
+
+// XYSR(+theta) state -> (cx, cy, w, h, theta) (geometry.xysr2obb)
+inline void xysr_to_obb(const float* s, float* box) {
+    float w = std::sqrt(std::max(s[2] * s[3], 1e-12f));
+    float h = s[2] / std::max(w, 1e-6f);
+    box[0] = s[0];
+    box[1] = s[1];
+    box[2] = w;
+    box[3] = h;
+    box[4] = s[4];
+}
+
 }  // namespace boxmot
 
 #endif  // BOXMOT_OBB_COMMON_HPP

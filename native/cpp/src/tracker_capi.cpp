@@ -112,6 +112,14 @@ void* bmt_tracker_create(const char* name, const char* config) {
         }
         return new HandleImpl<boxmot::OcSortCore>(boxmot::OcSortCore(cfg));
     }
+    if (n == "ocsort_obb") {
+        auto cfg = boxmot::OcSortConfig::from_string(config);
+        if (cfg.capacity <= 0 || cfg.capacity > (1 << 16) || cfg.delta_t <= 0) {
+            g_tracker_error = "bad capacity/delta_t";
+            return nullptr;
+        }
+        return new HandleImpl<boxmot::OcSortObbCore>(boxmot::OcSortObbCore(cfg));
+    }
     if (n == "boosttrack") {
         auto cfg = boxmot::BoostTrackConfig::from_string(config);
         if (cfg.capacity <= 0 || cfg.capacity > (1 << 16)) {

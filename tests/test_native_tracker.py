@@ -382,6 +382,34 @@ class TestParityVsDevice:
                 assert abs(rc[4] - rj[4]) < 0.05, f"frame {f} id {tid} angle"
                 assert rc[8] == rj[8]
 
+    def test_ocsort_obb_scene_parity(self):
+        """OC-SORT OBB: rotated IoU + 9-D XYSR filter matches the
+        device program frame-by-frame, including ORU after a gap."""
+        from boxmot_tpu.trackers.ocsort import OcSort
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        jax_trk = OcSort()
+        cpp_trk = create_tracker("ocsort:cpp")
+        for f in range(25):
+            dets = []
+            if not (8 <= f < 12):  # a gap for track 1 triggers ORU
+                dets.append([100 + 5 * f, 100 + 2 * f, 60, 24, 0.3 + 0.02 * f, 0.9, 0])
+            dets.append([300 - 4 * f, 220, 40, 80, -0.8 + 0.01 * f, 0.85, 0])
+            d = np.array(dets, np.float32)
+            out_j = np.asarray(jax_trk.update(d, IMG))
+            out_c = np.asarray(cpp_trk.update(d, IMG))
+            assert cpp_trk.is_obb
+            assert out_j.shape == out_c.shape, f"frame {f}"
+            ids_j = {int(r[5]): r for r in out_j}
+            ids_c = {int(r[5]): r for r in out_c}
+            assert set(ids_j) == set(ids_c), f"frame {f}"
+            for tid, rj in ids_j.items():
+                rc = ids_c[tid]
+                np.testing.assert_allclose(
+                    rc[:4], rj[:4], atol=0.7, err_msg=f"frame {f} id {tid}"
+                )
+                assert abs(rc[4] - rj[4]) < 0.05, f"frame {f} id {tid} angle"
+
     def test_obb_unsupported_native_raises(self):
         from boxmot_tpu.trackers.zoo import create_tracker
 
