@@ -120,6 +120,7 @@ _NATIVE_KEYS = {
         "frame_height",
         "horizontal_margin",
         "vertical_margin",
+        "obb_theta_damping",
         "capacity",
     ),
     "boosttrack": (

@@ -136,6 +136,14 @@ void* bmt_tracker_create(const char* name, const char* config) {
         }
         return new HandleImpl<boxmot::SFSortCore>(boxmot::SFSortCore(cfg));
     }
+    if (n == "sfsort_obb") {
+        auto cfg = boxmot::SFSortConfig::from_string(config);
+        if (cfg.capacity <= 0 || cfg.capacity > (1 << 16)) {
+            g_tracker_error = "bad capacity";
+            return nullptr;
+        }
+        return new HandleImpl<boxmot::SFSortObbCore>(boxmot::SFSortObbCore(cfg));
+    }
     if (n == "occluboost") {
         auto cfg = boxmot::OccluBoostConfig::from_string(config);
         if (cfg.boost.capacity <= 0 || cfg.boost.capacity > (1 << 16)) {

@@ -413,10 +413,39 @@ class TestParityVsDevice:
     def test_obb_unsupported_native_raises(self):
         from boxmot_tpu.trackers.zoo import create_tracker
 
-        trk = create_tracker("sfsort:cpp")
+        trk = create_tracker("botsort:cpp")
         dets = np.array([[100, 100, 60, 24, 0.4, 0.9, 0]], np.float32)
         with pytest.raises(AssertionError, match="OBB"):
             trk.update(dets, IMG)
+
+    def test_sfsort_obb_scene_parity(self):
+        """SFSORT OBB: rotated BBSI + damped theta matches the device
+        program frame-by-frame."""
+        from boxmot_tpu.trackers.sfsort import SFSORT
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        jax_trk = SFSORT()
+        cpp_trk = create_tracker("sfsort:cpp")
+        for f in range(25):
+            dets = np.array(
+                [
+                    [100 + 5 * f, 100 + 2 * f, 60, 24, 0.3 + 0.02 * f, 0.9, 0],
+                    [300 - 4 * f, 220, 40, 80, -0.8 + 0.01 * f, 0.85, 0],
+                ],
+                np.float32,
+            )
+            out_j = np.asarray(jax_trk.update(dets, IMG))
+            out_c = np.asarray(cpp_trk.update(dets, IMG))
+            assert cpp_trk.is_obb
+            assert out_j.shape == out_c.shape, f"frame {f}"
+            ids_j = {int(r[5]): r for r in out_j}
+            ids_c = {int(r[5]): r for r in out_c}
+            assert set(ids_j) == set(ids_c), f"frame {f}"
+            for tid, rj in ids_j.items():
+                rc = ids_c[tid]
+                np.testing.assert_allclose(
+                    rc[:5], rj[:5], atol=0.05, err_msg=f"frame {f} id {tid}"
+                )
 
     def test_boosttrack_reid_rejected(self):
         from boxmot_tpu.native.trackers import NativeTracker
