@@ -56,6 +56,36 @@ def track_sequence_obb(cfg, dets_per_frame) -> np.ndarray:
     return np.concatenate(rows) if rows else np.zeros((0, 13), np.float32)
 
 
+def track_sequence_obb_native(
+    tracker_type: str, dets_per_frame, tracker_params: dict | None = None
+) -> np.ndarray:
+    """track_sequence_obb on a native OBB core (backend="cpp")."""
+    from boxmot_tpu.trackers.zoo import create_tracker
+
+    trk = create_tracker(
+        tracker_type, backend="cpp", evolve_param_dict=tracker_params or None
+    )
+    rows = []
+    for f, dets in enumerate(dets_per_frame):
+        out = np.asarray(trk.update(np.asarray(dets, np.float32).reshape(-1, 7)))
+        if not len(out):
+            continue
+        corners = obb_to_corners(out[:, :5])
+        rows.append(
+            np.column_stack(
+                [
+                    np.full(len(out), f + 1, np.float32),
+                    out[:, 5],
+                    corners,
+                    out[:, 6],
+                    out[:, 7],
+                    np.ones(len(out), np.float32),
+                ]
+            )
+        )
+    return np.concatenate(rows) if rows else np.zeros((0, 13), np.float32)
+
+
 def run_eval_obb(
     data_root: Path,
     tracker_type: str = "bytetrack",
@@ -79,9 +109,16 @@ def run_eval_obb(
     dataset = MmotDataset(data_root)
     if len(dataset) == 0:
         raise ValueError(f"no MMOT sequences under {data_root}")
+    # "name:cpp" replays on the native OBB cores
+    from boxmot_tpu.trackers.zoo import parse_tracker_spec
+
+    tracker_type, tracker_backend = parse_tracker_spec(tracker_type)
     params = dict(tracker_params or {})
-    params["is_obb"] = True
-    cfg = build_replay_config(tracker_type, **params)
+    if tracker_backend == "cpp":
+        cfg = None
+    else:
+        params["is_obb"] = True
+        cfg = build_replay_config(tracker_type, **params)
 
     out_root = Path(output_dir) if output_dir else None
     with tempfile.TemporaryDirectory() as tmp:
@@ -90,7 +127,12 @@ def run_eval_obb(
         seq_lengths = {}
         all_classes: set[int] = set()
         for seq in dataset:
-            rows = track_sequence_obb(cfg, seq.gt_as_obb_dets())
+            if tracker_backend == "cpp":
+                rows = track_sequence_obb_native(
+                    tracker_type, seq.gt_as_obb_dets(), params
+                )
+            else:
+                rows = track_sequence_obb(cfg, seq.gt_as_obb_dets())
             np.savetxt(res_root / f"{seq.name}.txt", rows, delimiter=",",
                        fmt="%.10g")
             seq_lengths[seq.name] = seq.seq_length

@@ -78,6 +78,17 @@ def test_eval_cpp_thread_pool_matches_serial():
         assert serial["combined"][metric] == pooled["combined"][metric]
 
 
+def test_eval_obb_cpp_matches_device():
+    """OBB benchmark eval on the native core matches the device path."""
+    from boxmot_tpu.engine.eval_obb import run_eval_obb
+
+    root = FIXTURE.parent.parent / "mmot-mini" / "train"
+    dev = run_eval_obb(root, "bytetrack")
+    cpp = run_eval_obb(root, "bytetrack:cpp")
+    for metric in ("HOTA", "MOTA", "IDF1"):
+        assert abs(dev["combined"][metric] - cpp["combined"][metric]) < 1e-6
+
+
 def test_tune_over_cpp_backend(tmp_path):
     """Hyperparameter trials replay on the native cores (cheap CPU
     trials, the reference's Ray-Tune-over-replay pattern)."""
