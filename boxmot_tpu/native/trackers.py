@@ -142,6 +142,20 @@ _NATIVE_KEYS = {
         "use_vt",
         "capacity",
     ) + _CMC_KEYS,
+    "hybridsort": (
+        "det_thresh",
+        "low_thresh",
+        "max_age",
+        "min_hits",
+        "iou_threshold",
+        "delta_t",
+        "inertia",
+        "use_byte",
+        "track_thresh",
+        "TCM_byte_step",
+        "TCM_byte_step_weight",
+        "capacity",
+    ),
     "occluboost": (
         "det_thresh",
         "max_age",

@@ -419,6 +419,44 @@ struct XysrObbLayout {
     }
 };
 
+// [x, y, s=area, c=confidence, r=aspect] + (vx, vy, vs, vc) — the
+// score-aware HybridSort filter (mirrors kalman.make_xyscr_layout).
+struct XyscrLayout {
+    static constexpr int DZ = 5;
+    static constexpr int DX = 9;
+
+    bool nsa() const { return false; }
+
+    void apply_motion(const float* x, float* out) const {
+        out[0] = x[0] + x[5];
+        out[1] = x[1] + x[6];
+        out[2] = x[2] + x[7];
+        out[3] = x[3] + x[8];
+        out[4] = x[4];
+        for (int i = 5; i < 9; ++i) out[i] = x[i];
+    }
+
+    void init_std(const float*, float* std) const {
+        for (int i = 0; i < 5; ++i) std[i] = std::sqrt(10.0f);
+        for (int i = 5; i < 9; ++i) std[i] = std::sqrt(10000.0f);
+    }
+
+    void process_std(const float*, float* std) const {
+        const float q[9] = {1.f, 1.f, 1.f, 1.f, 1.f, 0.01f, 0.01f, 1e-4f, 1e-4f};
+        for (int i = 0; i < 9; ++i) std[i] = std::sqrt(q[i]);
+    }
+
+    void meas_std(const float*, float* std) const {
+        const float r[5] = {1.f, 1.f, 10.f, 10.f, 10.f};
+        for (int i = 0; i < 5; ++i) std[i] = std::sqrt(r[i]);
+    }
+
+    void enforce(float* mean) const {
+        mean[2] = std::max(mean[2], 1e-6f);
+        mean[4] = std::max(mean[4], 1e-6f);
+    }
+};
+
 // [x, y, h, r=w/h] + velocities with BoostTrack's constant noise policy
 // (mirrors kalman.make_xyhr_layout, obb=False).
 struct XyhrLayout {

@@ -18,6 +18,7 @@
 #include "botsort_bank.hpp"
 #include "bytetrack_bank.hpp"
 #include "ecc_cmc.hpp"
+#include "hybridsort_bank.hpp"
 #include "occluboost_bank.hpp"
 #include "ocsort_bank.hpp"
 #include "sfsort_bank.hpp"
@@ -159,6 +160,14 @@ void* bmt_tracker_create(const char* name, const char* config) {
             return nullptr;
         }
         return new HandleImpl<boxmot::BotSortCore>(boxmot::BotSortCore(cfg));
+    }
+    if (n == "hybridsort") {
+        auto cfg = boxmot::HybridSortConfig::from_string(config);
+        if (cfg.capacity <= 0 || cfg.capacity > (1 << 16) || cfg.delta_t <= 0) {
+            g_tracker_error = "bad capacity/delta_t";
+            return nullptr;
+        }
+        return new HandleImpl<boxmot::HybridSortCore>(boxmot::HybridSortCore(cfg));
     }
     g_tracker_error = "unknown native tracker: " + n;
     return nullptr;

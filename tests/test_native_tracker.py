@@ -340,6 +340,51 @@ class TestParityVsDevice:
         assert emitted[0] == 0  # tentative on birth
         assert emitted[-1] == 1  # confirmed after repeated hits
 
+    @pytest.mark.parametrize("seed", [0, 1])
+    @pytest.mark.parametrize("use_byte", [True, False])
+    def test_hybridsort_scene_parity(self, seed, use_byte):
+        """Motion-only HybridSort: score-aware XYSCR + corner velocities
+        match the device program frame-by-frame."""
+        from boxmot_tpu.trackers.hybridsort import HybridSort
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        frames = moving_scene(n_frames=40, n_obj=6, seed=seed, low_conf_p=0.3)
+        jax_trk = create_tracker("hybridsort", use_byte=use_byte)
+        assert isinstance(jax_trk, HybridSort) and not jax_trk.with_reid
+        cpp_trk = create_tracker("hybridsort:cpp", use_byte=use_byte)
+        for f, dets in enumerate(frames):
+            out_j = np.asarray(jax_trk.update(dets, IMG))
+            out_c = np.asarray(cpp_trk.update(dets, IMG))
+            assert out_j.shape[0] == out_c.shape[0], f"frame {f}: row count"
+            ids_j = {int(r[4]): r for r in out_j}
+            ids_c = {int(r[4]): r for r in out_c}
+            assert set(ids_j) == set(ids_c), f"frame {f}: track ids"
+            for tid, rj in ids_j.items():
+                rc = ids_c[tid]
+                np.testing.assert_allclose(
+                    rc[:4], rj[:4], atol=0.5, err_msg=f"frame {f} id {tid} box"
+                )
+                assert rc[7] == rj[7]
+
+    def test_hybridsort_oru_occlusion_parity(self):
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        jax_trk = create_tracker("hybridsort")
+        cpp_trk = create_tracker("hybridsort:cpp")
+        box = np.array([100, 100, 160, 220], np.float32)
+        for f in range(25):
+            if 8 <= f < 13:
+                dets = np.empty((0, 6), np.float32)
+            else:
+                b = box + 4 * f * np.array([1, 0.5, 1, 0.5], np.float32)
+                dets = np.array([[*b, 0.9, 0.0]], np.float32)
+            out_j = np.asarray(jax_trk.update(dets, IMG))
+            out_c = np.asarray(cpp_trk.update(dets, IMG))
+            assert out_j.shape[0] == out_c.shape[0], f"frame {f}"
+            if out_j.shape[0]:
+                assert int(out_j[0, 4]) == int(out_c[0, 4]) == 1
+                np.testing.assert_allclose(out_c[0, :4], out_j[0, :4], atol=0.5)
+
     def test_bytetrack_obb_scene_parity(self):
         """OBB layout inference + rotated tracking matches the device
         program frame-by-frame."""
