@@ -142,6 +142,22 @@ _NATIVE_KEYS = {
         "use_vt",
         "capacity",
     ) + _CMC_KEYS,
+    "deepocsort": (
+        "det_thresh",
+        "max_age",
+        "min_hits",
+        "iou_threshold",
+        "delta_t",
+        "inertia",
+        "w_association_emb",
+        "aw_param",
+        "embedding_off",
+        "aw_off",
+        "cmc_off",
+        "q_xy_scaling",
+        "q_s_scaling",
+        "capacity",
+    ) + _CMC_KEYS[1:],  # cmc_off replaces use_cmc for this core
     "hybridsort": (
         "det_thresh",
         "low_thresh",

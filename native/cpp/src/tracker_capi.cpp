@@ -17,6 +17,7 @@
 #include "boosttrack_bank.hpp"
 #include "botsort_bank.hpp"
 #include "bytetrack_bank.hpp"
+#include "deepocsort_bank.hpp"
 #include "ecc_cmc.hpp"
 #include "hybridsort_bank.hpp"
 #include "occluboost_bank.hpp"
@@ -160,6 +161,14 @@ void* bmt_tracker_create(const char* name, const char* config) {
             return nullptr;
         }
         return new HandleImpl<boxmot::BotSortCore>(boxmot::BotSortCore(cfg));
+    }
+    if (n == "deepocsort") {
+        auto cfg = boxmot::DeepOcSortConfig::from_string(config);
+        if (cfg.capacity <= 0 || cfg.capacity > (1 << 16) || cfg.delta_t <= 0) {
+            g_tracker_error = "bad capacity/delta_t";
+            return nullptr;
+        }
+        return new HandleImpl<boxmot::DeepOcSortCore>(boxmot::DeepOcSortCore(cfg));
     }
     if (n == "hybridsort") {
         auto cfg = boxmot::HybridSortConfig::from_string(config);

@@ -341,6 +341,57 @@ class TestParityVsDevice:
         assert emitted[-1] == 1  # confirmed after repeated hits
 
     @pytest.mark.parametrize("seed", [0, 1])
+    def test_deepocsort_scene_parity(self, seed):
+        """No-model DeepOcSort: the all-ones embedding semantics and
+        adaptive weighting match the device program frame-by-frame."""
+        from boxmot_tpu.trackers.deepocsort import DeepOcSort
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        frames = moving_scene(n_frames=40, n_obj=6, seed=seed)
+        jax_trk = create_tracker("deepocsort", cmc_off=True)
+        assert isinstance(jax_trk, DeepOcSort)
+        cpp_trk = create_tracker("deepocsort:cpp", cmc_off=True)
+        for f, dets in enumerate(frames):
+            out_j = np.asarray(jax_trk.update(dets, IMG))
+            out_c = np.asarray(cpp_trk.update(dets, IMG))
+            assert out_j.shape[0] == out_c.shape[0], f"frame {f}: row count"
+            ids_j = {int(r[4]): r for r in out_j}
+            ids_c = {int(r[4]): r for r in out_c}
+            assert set(ids_j) == set(ids_c), f"frame {f}: track ids"
+            for tid, rj in ids_j.items():
+                rc = ids_c[tid]
+                np.testing.assert_allclose(
+                    rc[:4], rj[:4], atol=0.5, err_msg=f"frame {f} id {tid} box"
+                )
+                assert rc[7] == rj[7]
+
+    def test_deepocsort_cmc_pan_parity(self):
+        """DeepOcSort with CMC holds ids under camera pan on both backends."""
+        from scipy.ndimage import gaussian_filter
+
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        rng = np.random.default_rng(1)
+        bg = gaussian_filter(rng.uniform(0, 255, (240, 320)), 6.0)
+        bg = np.repeat(
+            ((bg - bg.min()) / max(np.ptp(bg), 1e-9) * 255)[:, :, None], 3, 2
+        ).astype(np.uint8)
+        jax_trk = create_tracker("deepocsort")
+        cpp_trk = create_tracker("deepocsort:cpp")
+        pan = np.array([3, 1], np.float64)
+        boxes0 = np.array([[40, 50, 100, 170], [180, 90, 240, 210]], np.float64)
+        for f in range(15):
+            img = np.roll(
+                np.roll(bg, int(round(pan[1] * f)), 0), int(round(pan[0] * f)), 1
+            )
+            b = boxes0 + np.tile(pan * f, 2)
+            dets = np.column_stack([b, [0.9, 0.85], [0.0, 0.0]]).astype(np.float32)
+            out_j = np.asarray(jax_trk.update(dets, img))
+            out_c = np.asarray(cpp_trk.update(dets, img))
+            assert out_j.shape[0] == out_c.shape[0], f"frame {f}"
+            assert {int(r[4]) for r in out_j} == {int(r[4]) for r in out_c}
+
+    @pytest.mark.parametrize("seed", [0, 1])
     @pytest.mark.parametrize("use_byte", [True, False])
     def test_hybridsort_scene_parity(self, seed, use_byte):
         """Motion-only HybridSort: score-aware XYSCR + corner velocities
