@@ -142,6 +142,17 @@ _NATIVE_KEYS = {
         "use_vt",
         "capacity",
     ) + _CMC_KEYS,
+    "strongsort": (
+        "min_conf",
+        "max_cos_dist",
+        "max_iou_dist",
+        "max_age",
+        "n_init",
+        "mc_lambda",
+        "std_weight_position",
+        "std_weight_velocity",
+        "capacity",
+    ) + _CMC_KEYS,
     "deepocsort": (
         "det_thresh",
         "max_age",

@@ -23,6 +23,7 @@
 #include "occluboost_bank.hpp"
 #include "ocsort_bank.hpp"
 #include "sfsort_bank.hpp"
+#include "strongsort_bank.hpp"
 
 namespace {
 
@@ -161,6 +162,14 @@ void* bmt_tracker_create(const char* name, const char* config) {
             return nullptr;
         }
         return new HandleImpl<boxmot::BotSortCore>(boxmot::BotSortCore(cfg));
+    }
+    if (n == "strongsort") {
+        auto cfg = boxmot::StrongSortConfig::from_string(config);
+        if (cfg.capacity <= 0 || cfg.capacity > (1 << 16)) {
+            g_tracker_error = "bad capacity";
+            return nullptr;
+        }
+        return new HandleImpl<boxmot::StrongSortCore>(boxmot::StrongSortCore(cfg));
     }
     if (n == "deepocsort") {
         auto cfg = boxmot::DeepOcSortConfig::from_string(config);

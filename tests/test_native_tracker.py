@@ -341,6 +341,31 @@ class TestParityVsDevice:
         assert emitted[-1] == 1  # confirmed after repeated hits
 
     @pytest.mark.parametrize("seed", [0, 1])
+    def test_strongsort_scene_parity(self, seed):
+        """No-model StrongSort: bank-presence appearance + Mahalanobis
+        cascade matches the device program frame-by-frame."""
+        from boxmot_tpu.trackers.strongsort import StrongSort
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        frames = moving_scene(n_frames=40, n_obj=6, seed=seed)
+        jax_trk = create_tracker("strongsort")
+        assert isinstance(jax_trk, StrongSort)
+        cpp_trk = create_tracker("strongsort:cpp")
+        for f, dets in enumerate(frames):
+            out_j = np.asarray(jax_trk.update(dets, IMG))
+            out_c = np.asarray(cpp_trk.update(dets, IMG))
+            assert out_j.shape[0] == out_c.shape[0], f"frame {f}: row count"
+            ids_j = {int(r[4]): r for r in out_j}
+            ids_c = {int(r[4]): r for r in out_c}
+            assert set(ids_j) == set(ids_c), f"frame {f}: track ids"
+            for tid, rj in ids_j.items():
+                rc = ids_c[tid]
+                np.testing.assert_allclose(
+                    rc[:4], rj[:4], atol=0.5, err_msg=f"frame {f} id {tid} box"
+                )
+                assert rc[7] == rj[7]
+
+    @pytest.mark.parametrize("seed", [0, 1])
     def test_deepocsort_scene_parity(self, seed):
         """No-model DeepOcSort: the all-ones embedding semantics and
         adaptive weighting match the device program frame-by-frame."""
