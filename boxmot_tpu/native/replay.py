@@ -75,7 +75,8 @@ def replay_cache_cpp(
         raise RuntimeError("boxmot_replay executable unavailable")
     from boxmot_tpu.native.trackers import _NATIVE_KEYS
 
-    keys = _NATIVE_KEYS.get(tracker_type)
+    # "_obb" variants share their base tracker's config keys
+    keys = _NATIVE_KEYS.get(tracker_type.removesuffix("_obb"))
     if keys is None:
         raise ValueError(f"no native core for tracker {tracker_type!r}")
     params = dict(tracker_params or {})

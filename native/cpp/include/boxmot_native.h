@@ -77,8 +77,28 @@ void* bmt_tracker_create(const char* name, const char* config);
 void bmt_tracker_destroy(void* handle);
 int bmt_tracker_reset(void* handle);
 int bmt_tracker_capacity(void* handle);
+int bmt_tracker_out_cols(void* handle); /* 8 (AABB) or 9 (OBB xywha) */
 int64_t bmt_tracker_update(void* handle, const float* dets, int64_t n, float* out);
+/* As bmt_tracker_update plus the (H x W x 3) BGR uint8 frame; CMC-capable
+ * cores estimate camera motion from it, others ignore it. */
+int64_t bmt_tracker_update_img(void* handle, const float* dets, int64_t n,
+                               const uint8_t* img, int64_t H, int64_t W, float* out);
 const char* bmt_tracker_last_error(void);
+
+/* Standalone ECC camera-motion estimation (src/ecc_cmc.hpp).  warp6 is a
+ * row-major 2x3 affine mapping prev -> curr coordinates. */
+void* bmt_cmc_create(int euclidean, int max_iter, double scale);
+void bmt_cmc_destroy(void* handle);
+int bmt_cmc_apply(void* handle, const uint8_t* img, int64_t H, int64_t W, float* warp6);
+
+/* ReID inference over exported OSNet weights (src/reid_net.hpp;
+ * manifest from boxmot_tpu.native.reid.export_native_reid). */
+void* bmt_reid_create(const char* manifest_path);
+void bmt_reid_destroy(void* handle);
+int bmt_reid_feature_dim(void* handle);
+int bmt_reid_compute(void* handle, const uint8_t* img_bgr, int64_t H, int64_t W,
+                     const float* boxes_xyxy, int64_t n, float* out);
+const char* bmt_reid_last_error(void);
 
 #ifdef __cplusplus
 }

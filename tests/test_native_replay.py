@@ -78,6 +78,27 @@ def test_eval_cpp_thread_pool_matches_serial():
         assert serial["combined"][metric] == pooled["combined"][metric]
 
 
+def test_replay_executable_obb(tmp_path):
+    """(N, 8) OBB caches replay through the executable, emitting
+    13-col corner-format rows (engine/eval_obb.py convention)."""
+    from boxmot_tpu.native.replay import replay_cache_cpp
+
+    rows = []
+    for f in range(8):
+        rows.append([f + 1, 100 + 5 * f, 100, 60, 24, 0.3, 0.9, 0])
+    np.save(tmp_path / "d.npy", np.array(rows, np.float32))
+    out = tmp_path / "o.txt"
+    summary = replay_cache_cpp("bytetrack_obb", tmp_path / "d.npy", out, seq_len=8)
+    assert summary == {"frames": 8, "rows": 8}
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 8
+    assert all(len(l.split(",")) == 13 for l in lines)
+
+    # mismatched layout is rejected with a clear error
+    with pytest.raises(RuntimeError, match="does not match"):
+        replay_cache_cpp("bytetrack", tmp_path / "d.npy", tmp_path / "x.txt", seq_len=8)
+
+
 def test_eval_obb_cpp_matches_device():
     """OBB benchmark eval on the native core matches the device path."""
     from boxmot_tpu.engine.eval_obb import run_eval_obb
