@@ -230,12 +230,14 @@ class NativeTracker:
     appearance paths stay on the device programs.
     """
 
-    def __init__(self, tracker_type: str, **params):
+    def __init__(self, tracker_type: str, per_class: bool = False,
+                 nr_classes: int = 80, **params):
         lib = get_library()
         if lib is None:
             raise RuntimeError("native library unavailable (no C++ toolchain?)")
         _bind(lib)
         self._lib = lib
+        self.nr_classes = int(nr_classes)
         keys = _NATIVE_KEYS.get(tracker_type)
         if keys is None:
             raise ValueError(f"no native core for tracker {tracker_type!r}")
@@ -277,7 +279,11 @@ class NativeTracker:
         self._out = np.empty((self.capacity, 8), np.float32)
         self.frame_count = 0
         self.is_obb = False
-        self.per_class = False
+        self.per_class = bool(per_class)
+        # lazily created per-class handles (the device trackers'
+        # per-class split, trackers/base.py:191-236); ids get disjoint
+        # cls_id * 1_000_000 ranges exactly like the device states
+        self._class_handles: dict[int, int] = {}
         self._layout_locked = False
 
     def _switch_to_obb(self):
@@ -317,13 +323,48 @@ class NativeTracker:
                 f"detection layout changed mid-stream "
                 f"(expected {7 if self.is_obb else 6} cols, got {dets.shape[1]})"
             )
+        if self.per_class:
+            cls_col = 6 if self.is_obb else 5
+            outputs = []
+            seen = set(np.unique(dets[:, cls_col]).astype(int)) if len(dets) else set()
+            # tick every previously-seen class so lost tracks keep aging
+            # (the device loops all classes each frame, base.py:196-204)
+            for cls_id in sorted(seen | set(self._class_handles)):
+                if not 0 <= cls_id < self.nr_classes:
+                    continue
+                handle = self._class_handles.get(cls_id)
+                if handle is None:
+                    handle = self._create_handle()
+                    self._class_handles[cls_id] = handle
+                cls_dets = dets[dets[:, cls_col] == cls_id] if len(dets) else dets
+                rows = self._update_handle(handle, cls_dets, img)
+                if rows.shape[0]:
+                    rows[:, 5 if self.is_obb else 4] += cls_id * 1_000_000
+                    outputs.append(rows)
+            self.frame_count += 1
+            if outputs:
+                return TrackResults(np.concatenate(outputs, axis=0))
+            return TrackResults(self._out[:0].copy())
+
+        rows = self._update_handle(self._handle, dets, img)
+        self.frame_count += 1
+        return TrackResults(rows)
+
+    def _create_handle(self):
+        name = f"{self.tracker_type}_obb" if self.is_obb else self.tracker_type
+        handle = self._lib.bmt_tracker_create(name.encode(), self._cfg.encode())
+        if not handle:
+            raise RuntimeError(self._lib.bmt_tracker_last_error().decode())
+        return handle
+
+    def _update_handle(self, handle, dets, img):
         dp = dets.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         op = self._out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         if img is not None and getattr(img, "ndim", 0) == 3 and img.shape[2] == 3:
             # image-aware path: CMC-capable cores estimate camera motion
             img = np.ascontiguousarray(img, np.uint8)
             m = self._lib.bmt_tracker_update_img(
-                self._handle,
+                handle,
                 dp,
                 dets.shape[0],
                 img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -332,14 +373,16 @@ class NativeTracker:
                 op,
             )
         else:
-            m = self._lib.bmt_tracker_update(self._handle, dp, dets.shape[0], op)
+            m = self._lib.bmt_tracker_update(handle, dp, dets.shape[0], op)
         if m < 0:
             raise RuntimeError(self._lib.bmt_tracker_last_error().decode())
-        self.frame_count += 1
-        return TrackResults(self._out[:m].copy())
+        return self._out[:m].copy()
 
     def reset(self):
         self._lib.bmt_tracker_reset(self._handle)
+        for handle in self._class_handles.values():
+            self._lib.bmt_tracker_destroy(handle)
+        self._class_handles = {}
         self.frame_count = 0
 
     def __del__(self):
@@ -347,6 +390,9 @@ class NativeTracker:
         if handle:
             self._lib.bmt_tracker_destroy(handle)
             self._handle = None
+        for h in getattr(self, "_class_handles", {}).values():
+            self._lib.bmt_tracker_destroy(h)
+        self._class_handles = {}
 
 
 class NativeECC:

@@ -100,9 +100,7 @@ def create_tracker(
                 f"no native (cpp) core for {tracker_type!r}; "
                 f"available: {sorted(NATIVE_LIVE_TRACKERS)}"
             )
-        if per_class:
-            raise ValueError("per_class is not supported on the cpp backend")
-        return NativeTracker(tracker_type, **params)
+        return NativeTracker(tracker_type, per_class=per_class, **params)
     params["per_class"] = per_class
     if reid_weights is not None and tracker_type in REID_TRACKERS:
         from boxmot_tpu.reid.backends import create_reid

@@ -568,6 +568,55 @@ class TestParityVsDevice:
                     rc[:5], rj[:5], atol=0.05, err_msg=f"frame {f} id {tid}"
                 )
 
+    def test_per_class_parity(self):
+        """Per-class isolation on the cpp backend matches the device
+        trackers' class-split states and disjoint id ranges."""
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        jax_trk = create_tracker("bytetrack", per_class=True)
+        cpp_trk = create_tracker("bytetrack:cpp", per_class=True)
+        for f in range(15):
+            dets = np.array(
+                [
+                    [10 + 3 * f, 10, 70 + 3 * f, 140, 0.9, 0.0],
+                    [200, 30 + 2 * f, 260, 160 + 2 * f, 0.85, 2.0],
+                    [400 - 2 * f, 100, 460 - 2 * f, 230, 0.8, 2.0],
+                ],
+                np.float32,
+            )
+            out_j = np.asarray(jax_trk.update(dets, IMG))
+            out_c = np.asarray(cpp_trk.update(dets, IMG))
+            assert out_j.shape[0] == out_c.shape[0], f"frame {f}"
+            ids_j = {int(r[4]): r for r in out_j}
+            ids_c = {int(r[4]): r for r in out_c}
+            assert set(ids_j) == set(ids_c), f"frame {f}"
+            for tid, rj in ids_j.items():
+                np.testing.assert_allclose(ids_c[tid][:4], rj[:4], atol=0.5)
+        # class-2 ids live in the 2_000_000 range, class-0 below 1_000_000
+        ids = sorted(int(r[4]) for r in out_c)
+        assert ids[0] < 1_000_000 and ids[-1] >= 2_000_000
+        # classes preserved per row
+        for r in out_c:
+            assert (int(r[4]) // 1_000_000) == int(r[6])
+
+    def test_per_class_lost_tracks_age(self):
+        """A class absent for a few frames still ages out its tracks."""
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        trk = create_tracker("bytetrack:cpp", per_class=True)
+        d0 = np.array([[10, 10, 70, 140, 0.9, 0.0]], np.float32)
+        d1 = np.array([[200, 30, 260, 160, 0.85, 1.0]], np.float32)
+        trk.update(np.concatenate([d0, d1]), IMG)
+        for _ in range(30):  # class 1 vanishes past max_time_lost
+            trk.update(d0, IMG)
+        # two frames: the reborn class-1 track confirms on its 2nd match
+        trk.update(np.concatenate([d0, d1]), IMG)
+        out = trk.update(np.concatenate([d0, d1]), IMG)
+        ids = sorted(int(r[4]) for r in np.asarray(out))
+        # class-1 track died and was re-created with a fresh id
+        assert len(ids) == 2
+        assert ids[0] < 1_000_000 and ids[1] > 1_000_001
+
     def test_boosttrack_reid_rejected(self):
         from boxmot_tpu.native.trackers import NativeTracker
 
