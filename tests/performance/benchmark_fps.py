@@ -29,11 +29,14 @@ import time
 
 import numpy as np
 
-DEFAULT_TRACKERS = ("bytetrack", "ocsort", "sfsort", "botsort", "occluboost")
+DEFAULT_TRACKERS = (
+    "bytetrack", "ocsort", "sfsort", "botsort", "occluboost",
+    "boosttrack", "deepocsort", "strongsort", "hybridsort",
+)
 DEFAULT_COUNTS = (10, 50, 100)
 IMG_HW = (1080, 1920)
 
-REPLAYABLE = {"bytetrack", "ocsort", "sfsort", "botsort", "occluboost"}
+REPLAYABLE = set(DEFAULT_TRACKERS)
 
 
 def _make_dets(n, rng, n_frames):
