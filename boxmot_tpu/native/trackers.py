@@ -47,6 +47,19 @@ def _bind(lib):
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.bmt_tracker_update_masks.restype = ctypes.c_int64
+    lib.bmt_tracker_update_masks.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.bmt_tracker_last_error.restype = ctypes.c_char_p
     lib.bmt_cmc_create.restype = ctypes.c_void_p
     lib.bmt_cmc_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_double]
@@ -142,6 +155,23 @@ _NATIVE_KEYS = {
         "use_vt",
         "capacity",
     ) + _CMC_KEYS,
+    "sam2mot": (
+        "det_thresh",
+        "max_age",
+        "min_hits",
+        "tolerance_frames",
+        "memory_window",
+        "tau_r",
+        "tau_p",
+        "tau_s",
+        "density_threshold",
+        "second_stage_iou_threshold",
+        "frame_out_d_thre",
+        "miou_threshold",
+        "untracked_ratio_threshold",
+        "new_track_thresh",
+        "capacity",
+    ),
     "strongsort": (
         "min_conf",
         "max_cos_dist",
@@ -346,9 +376,43 @@ class NativeTracker:
                 return TrackResults(np.concatenate(outputs, axis=0))
             return TrackResults(self._out[:0].copy())
 
+        if self.tracker_type == "sam2mot" and masks is not None:
+            rows, out_masks = self._update_masks(dets, img, masks)
+            self.frame_count += 1
+            return TrackResults(rows, masks=out_masks)
+
         rows = self._update_handle(self._handle, dets, img)
         self.frame_count += 1
         return TrackResults(rows)
+
+    def _update_masks(self, dets, img, masks):
+        masks = np.ascontiguousarray(masks, np.uint8)
+        mH, mW = masks.shape[1], masks.shape[2]
+        if img is not None and getattr(img, "ndim", 0) == 3:
+            fH, fW = img.shape[0], img.shape[1]
+        else:
+            fH, fW = mH, mW
+        buf = getattr(self, "_mask_buf", None)
+        if buf is None or buf.shape[1:] != (mH, mW):
+            buf = np.zeros((self.capacity, mH, mW), np.uint8)
+            self._mask_buf = buf
+        m = self._lib.bmt_tracker_update_masks(
+            self._handle,
+            dets.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            dets.shape[0],
+            masks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            mH,
+            mW,
+            fH,
+            fW,
+            self._out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if m < 0:
+            raise RuntimeError(self._lib.bmt_tracker_last_error().decode())
+        rows = self._out[:m].copy()
+        out_masks = buf[:m].copy() if m and buf[:m].any() else None
+        return rows, out_masks
 
     def _create_handle(self):
         name = f"{self.tracker_type}_obb" if self.is_obb else self.tracker_type

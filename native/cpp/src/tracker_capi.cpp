@@ -22,6 +22,7 @@
 #include "hybridsort_bank.hpp"
 #include "occluboost_bank.hpp"
 #include "ocsort_bank.hpp"
+#include "sam2mot_bank.hpp"
 #include "sfsort_bank.hpp"
 #include "strongsort_bank.hpp"
 
@@ -34,6 +35,16 @@ struct has_out_cols : std::false_type {};
 template <class T>
 struct has_out_cols<T, std::void_t<decltype(std::declval<const T&>().out_cols())>>
     : std::true_type {};
+
+template <class T, class = void>
+struct has_step_masks : std::false_type {};
+template <class T>
+struct has_step_masks<T, std::void_t<decltype(std::declval<T&>().step_masks(
+                             static_cast<const float*>(nullptr), int64_t{0},
+                             static_cast<const uint8_t*>(nullptr), int64_t{0},
+                             int64_t{0}, int64_t{0}, int64_t{0},
+                             static_cast<float*>(nullptr),
+                             static_cast<uint8_t*>(nullptr)))>> : std::true_type {};
 
 template <class T, class = void>
 struct has_step_img : std::false_type {};
@@ -50,6 +61,9 @@ struct TrackerHandle {
     virtual int64_t step(const float* dets, int64_t n, float* out) = 0;
     virtual int64_t step_img(const float* dets, int64_t n, const uint8_t* img,
                              int64_t H, int64_t W, float* out) = 0;
+    virtual int64_t step_masks(const float* dets, int64_t n, const uint8_t* masks,
+                               int64_t mH, int64_t mW, int64_t fH, int64_t fW,
+                               float* out, uint8_t* out_masks) = 0;
     virtual int capacity() const = 0;
     virtual int out_cols() const = 0;
 };
@@ -69,6 +83,16 @@ struct HandleImpl final : TrackerHandle {
         } else {
             (void)img; (void)H; (void)W;
             return core.step(dets, n, out);  // motion-only core: frame unused
+        }
+    }
+    int64_t step_masks(const float* dets, int64_t n, const uint8_t* masks,
+                       int64_t mH, int64_t mW, int64_t fH, int64_t fW,
+                       float* out, uint8_t* out_masks) override {
+        if constexpr (has_step_masks<Core>::value) {
+            return core.step_masks(dets, n, masks, mH, mW, fH, fW, out, out_masks);
+        } else {
+            (void)masks; (void)mH; (void)mW; (void)fH; (void)fW; (void)out_masks;
+            return core.step(dets, n, out);  // box-only core: masks unused
         }
     }
     int capacity() const override { return core.capacity(); }
@@ -187,6 +211,14 @@ void* bmt_tracker_create(const char* name, const char* config) {
         }
         return new HandleImpl<boxmot::HybridSortCore>(boxmot::HybridSortCore(cfg));
     }
+    if (n == "sam2mot") {
+        auto cfg = boxmot::Sam2MotConfig::from_string(config);
+        if (cfg.capacity <= 0 || cfg.capacity > (1 << 16)) {
+            g_tracker_error = "bad capacity";
+            return nullptr;
+        }
+        return new HandleImpl<boxmot::Sam2MotCore>(boxmot::Sam2MotCore(cfg));
+    }
     g_tracker_error = "unknown native tracker: " + n;
     return nullptr;
 }
@@ -219,6 +251,21 @@ int64_t bmt_tracker_update(void* h, const float* dets, int64_t n, float* out) {
         return -1;
     }
     return static_cast<TrackerHandle*>(h)->step(dets, n, out);
+}
+
+// As bmt_tracker_update plus per-detection segmentation masks
+// (n x mH x mW uint8) and the frame size; mask-capable cores (sam2mot)
+// associate on them and fill out_masks (capacity x mH x mW, nullable).
+int64_t bmt_tracker_update_masks(void* h, const float* dets, int64_t n,
+                                 const uint8_t* masks, int64_t mH, int64_t mW,
+                                 int64_t fH, int64_t fW, float* out,
+                                 uint8_t* out_masks) {
+    if (!h || (n > 0 && !dets) || !out) {
+        g_tracker_error = "bad args to bmt_tracker_update_masks";
+        return -1;
+    }
+    return static_cast<TrackerHandle*>(h)->step_masks(dets, n, masks, mH, mW, fH,
+                                                      fW, out, out_masks);
 }
 
 // As bmt_tracker_update plus the (H, W, 3) BGR uint8 frame; CMC-capable

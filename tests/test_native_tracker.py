@@ -340,6 +340,66 @@ class TestParityVsDevice:
         assert emitted[0] == 0  # tentative on birth
         assert emitted[-1] == 1  # confirmed after repeated hits
 
+    def test_sam2mot_scene_parity(self):
+        """Mask tracker: the cpp core matches the device (host-numpy)
+        Sam2Mot frame-by-frame, including mask memory."""
+        from boxmot_tpu.trackers.sam2mot import Sam2Mot
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        hw = (120, 160)
+        img = np.zeros((*hw, 3), np.uint8)
+
+        def box_mask(b):
+            m = np.zeros(hw, np.uint8)
+            m[int(b[1]):int(b[3]), int(b[0]):int(b[2])] = 1
+            return m
+
+        jax_trk = Sam2Mot()
+        cpp_trk = create_tracker("sam2mot:cpp")
+        rng = np.random.default_rng(3)
+        base = np.array([[10, 10, 40, 60], [90, 30, 130, 100]], np.float64)
+        vel = np.array([[3, 1, 3, 1], [-2, 2, -2, 2]], np.float64)
+        for f in range(20):
+            boxes = base + vel * f
+            keep = rng.uniform(size=2) > 0.1
+            b = boxes[keep]
+            confs = rng.uniform(0.6, 0.95, keep.sum())
+            dets = np.column_stack([b, confs, np.zeros(keep.sum())]).astype(np.float32)
+            masks = (
+                np.stack([box_mask(bb) for bb in b])
+                if len(b)
+                else np.zeros((0, *hw), np.uint8)
+            )
+            out_j = jax_trk.update(dets, img, masks=masks)
+            out_c = cpp_trk.update(dets, img, masks=masks)
+            a, c = np.asarray(out_j), np.asarray(out_c)
+            assert a.shape[0] == c.shape[0], f"frame {f}"
+            ids_j = {int(r[4]): r for r in a}
+            ids_c = {int(r[4]): r for r in c}
+            assert set(ids_j) == set(ids_c), f"frame {f}"
+            for tid, rj in ids_j.items():
+                np.testing.assert_allclose(ids_c[tid][:4], rj[:4], atol=0.5)
+            if out_j.masks is not None:
+                assert out_c.masks is not None
+                np.testing.assert_array_equal(out_c.masks, out_j.masks)
+
+    def test_sam2mot_untracked_gate(self):
+        """A duplicate detection inside an existing mask must not spawn."""
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        hw = (120, 160)
+        img = np.zeros((*hw, 3), np.uint8)
+        m = np.zeros(hw, np.uint8)
+        m[10:80, 10:60] = 1
+        trk = create_tracker("sam2mot:cpp")
+        d = np.array([[10, 10, 60, 80, 0.9, 0.0]], np.float32)
+        trk.update(d, img, masks=np.stack([m]))
+        dets2 = np.array(
+            [[10, 10, 60, 80, 0.9, 0.0], [20, 20, 50, 70, 0.85, 0.0]], np.float32
+        )
+        out = trk.update(dets2, img, masks=np.stack([m, m[...]]))
+        assert sorted(np.asarray(out)[:, 4].astype(int).tolist()) == [1]
+
     @pytest.mark.parametrize("seed", [0, 1])
     def test_strongsort_scene_parity(self, seed):
         """No-model StrongSort: bank-presence appearance + Mahalanobis
