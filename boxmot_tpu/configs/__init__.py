@@ -29,13 +29,25 @@ def load_tracker_config(name: str) -> dict:
 
 
 def flatten_config(specs: dict) -> dict:
-    """Specs -> {param: default} runtime kwargs (search_space.py:43)."""
+    """Specs -> {param: default} runtime kwargs.
+
+    Mirrors reference flatten_yaml_config (search_space.py:43-62): entries
+    with an ``activates`` block have all descendants promoted to the top
+    level; parents keep their own default.
+    """
     out = {}
-    for key, spec in specs.items():
-        if isinstance(spec, dict) and "default" in spec:
-            out[key] = spec["default"]
-        else:
-            out[key] = spec
+
+    def _visit(entries: dict) -> None:
+        for key, spec in entries.items():
+            if isinstance(spec, dict) and "default" in spec:
+                out[key] = spec["default"]
+                children = spec.get("activates")
+                if isinstance(children, dict):
+                    _visit(children)
+            else:
+                out[key] = spec
+
+    _visit(specs)
     return out
 
 

@@ -373,8 +373,42 @@ def train(data, model, dataset, steps, lr, p, k, ckpt_dir, resume):
 @click.option("--n-candidates", type=int, default=10, show_default=True)
 @click.option("--work-dir", type=click.Path(), default="research_results")
 @click.option("--seed", type=int, default=0)
-def research(data, tracker, n_candidates, work_dir, seed):
+@click.option(
+    "--edit-source", is_flag=True,
+    help="Research over tracker SOURCE candidates (sandboxed workspace) "
+    "instead of config parameters.",
+)
+@click.option(
+    "--editable-file", "editable_files", multiple=True,
+    help="Repo-relative file(s) the source proposer may edit "
+    "(default: the tracker's step module).",
+)
+def research(data, tracker, n_candidates, work_dir, seed, edit_source, editable_files):
     """Iterative candidate-proposal research loop over a benchmark."""
+    if edit_source:
+        from boxmot_tpu.engine.research import SourceResearchRunner
+
+        runner = SourceResearchRunner(
+            data, tracker, editable_files=list(editable_files) or None,
+            work_dir=work_dir, seed=seed,
+        )
+        summary = runner.run(n_candidates=n_candidates)
+        best = summary["best"]
+        click.echo(
+            f"evaluated {summary['n_evaluated']} source candidates "
+            f"({summary['n_failed']} failed)"
+        )
+        if best is None:
+            click.echo("no candidate beat the baseline")
+        else:
+            click.echo(
+                f"best {best['tag']}  score {best['score']:+.4f}  "
+                f"HOTA {100 * best['metrics']['HOTA']:.2f}"
+            )
+            for ch in best["changes"]:
+                click.echo(f"  {ch['path']}: +{ch['added']} -{ch['removed']}")
+        return
+
     from boxmot_tpu.engine.research import run_research
 
     best = run_research(data, tracker, n_candidates=n_candidates, work_dir=work_dir, seed=seed)

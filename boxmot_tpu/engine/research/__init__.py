@@ -1,3 +1,8 @@
 """Research loop: iterative candidate proposal + benchmark scoring."""
 
-from boxmot_tpu.engine.research.runner import ResearchRunner, run_research  # noqa: F401
+from boxmot_tpu.engine.research.runner import (  # noqa: F401
+    PenaltyConfig,
+    ResearchRunner,
+    SourceResearchRunner,
+    run_research,
+)

@@ -154,6 +154,170 @@ class ResearchRunner:
         return max(candidates, key=lambda h: h["score"])
 
 
+class PenaltyConfig:
+    """Regression-penalty scoring weights (reference runner.py:162-200)."""
+
+    def __init__(
+        self,
+        hota_tolerance=0.0, idf1_tolerance=0.0, mota_tolerance=0.0,
+        hota_penalty=1.0, idf1_penalty=0.5, mota_penalty=0.5,
+    ):
+        self.hota_tolerance = hota_tolerance
+        self.idf1_tolerance = idf1_tolerance
+        self.mota_tolerance = mota_tolerance
+        self.hota_penalty = hota_penalty
+        self.idf1_penalty = idf1_penalty
+        self.mota_penalty = mota_penalty
+
+    def score(self, metrics: dict, baseline: dict) -> tuple[float, dict]:
+        hota = float(metrics.get("HOTA", 0.0))
+        reg = {
+            k: max(
+                0.0,
+                float(baseline.get(k, 0.0)) - float(metrics.get(k, 0.0))
+                - getattr(self, f"{k.lower()}_tolerance"),
+            )
+            for k in ("HOTA", "IDF1", "MOTA")
+        }
+        total = sum(
+            reg[k] * getattr(self, f"{k.lower()}_penalty")
+            for k in ("HOTA", "IDF1", "MOTA")
+        )
+        return hota - total, {"regressions": reg, "total_penalty": total}
+
+
+class SourceResearchRunner:
+    """Research over *source-code* candidates (reference GEPA loop,
+    runner.py:525-650): candidates are {file: text} mappings over editable
+    tracker files, proposed by a pluggable function (offline default: AST
+    literal mutation), preflighted and evaluated in a sandboxed workspace
+    subprocess, scored with regression penalties against the baseline.
+    """
+
+    def __init__(
+        self,
+        data_root,
+        tracker_type: str,
+        editable_files=None,
+        proposal_fn=None,
+        work_dir=None,
+        seed: int = 0,
+        eval_kwargs: dict | None = None,
+        penalties: PenaltyConfig | None = None,
+    ):
+        from boxmot_tpu.engine.research.candidates import (
+            SourceWorkspace,
+            ast_mutation_proposer,
+            normalize_editable_files,
+            read_candidate,
+        )
+
+        self.data_root = Path(data_root)
+        self.tracker_type = tracker_type
+        self.editable_files = normalize_editable_files(tracker_type, editable_files)
+        self.seed_candidate = read_candidate(self.editable_files)
+        self.proposal_fn = proposal_fn or ast_mutation_proposer()
+        self.work_dir = Path(work_dir) if work_dir else Path("research_results")
+        self.rng = np.random.default_rng(seed)
+        self.eval_kwargs = dict(eval_kwargs or {})
+        self.penalties = penalties or PenaltyConfig()
+        self.workspace = SourceWorkspace(self.work_dir)
+        self.history: list[dict] = []
+        self.baseline: dict | None = None
+        log = self.work_dir / "source_research.json"
+        if log.exists():
+            state = json.loads(log.read_text())
+            self.history = state["history"]
+            self.baseline = state["baseline"]
+
+    def _save(self):
+        (self.work_dir / "source_research.json").write_text(
+            json.dumps(
+                {"history": self.history, "baseline": self.baseline}, indent=1
+            )
+        )
+
+    def _eval_candidate(self, candidate: dict[str, str], tag: str) -> dict:
+        from boxmot_tpu.engine.research.candidates import validate_candidate
+
+        errors = validate_candidate(candidate)
+        if errors:
+            return {"ok": False, "error": "; ".join(errors), "stage": "validate"}
+        self.workspace.write_candidate(candidate)
+        pre = self.workspace.preflight(self.tracker_type)
+        if not pre.get("ok"):
+            return {"ok": False, "error": pre.get("error"), "stage": "preflight"}
+        res = self.workspace.evaluate(
+            self.tracker_type, self.data_root, eval_kwargs=self.eval_kwargs
+        )
+        if not res.get("ok"):
+            return {"ok": False, "error": res.get("error"), "stage": "eval"}
+        return {"ok": True, "metrics": res["metrics"]}
+
+    def run(self, n_candidates: int = 8) -> dict:
+        from boxmot_tpu.engine.research.candidates import change_summary
+
+        if self.baseline is None:
+            base = self._eval_candidate(self.seed_candidate, "baseline")
+            if not base.get("ok"):
+                raise RuntimeError(f"baseline evaluation failed: {base.get('error')}")
+            self.baseline = {"metrics": base["metrics"]}
+            self._save()
+        best_candidate = dict(self.seed_candidate)
+        while len(self.history) < n_candidates:
+            feedback = [
+                {
+                    "score": h["score"],
+                    "changes": h["changes"],
+                    "error": h["error"],
+                    "metrics": h.get("metrics", {}),
+                }
+                for h in self.history
+            ]
+            candidate = self.proposal_fn(best_candidate, feedback, self.rng)
+            t0 = time.perf_counter()
+            tag = f"candidate_{len(self.history):03d}"
+            result = self._eval_candidate(candidate, tag)
+            if result.get("ok"):
+                score, breakdown = self.penalties.score(
+                    result["metrics"], self.baseline["metrics"]
+                )
+                entry = {
+                    "tag": tag,
+                    "changes": change_summary(self.seed_candidate, candidate),
+                    "metrics": result["metrics"],
+                    "score": score,
+                    "breakdown": breakdown,
+                    "error": None,
+                }
+                prev_best = max(
+                    (h["score"] for h in self.history if h["error"] is None),
+                    default=float("-inf"),
+                )
+                if score > max(prev_best, 0.0):
+                    best_candidate = dict(candidate)
+                    self.workspace.save_snapshot(candidate, "best_candidate")
+            else:
+                entry = {
+                    "tag": tag,
+                    "changes": change_summary(self.seed_candidate, candidate),
+                    "metrics": {},
+                    "score": float("-inf"),
+                    "error": f"[{result.get('stage')}] {result.get('error')}",
+                }
+            entry["seconds"] = round(time.perf_counter() - t0, 2)
+            self.history.append(entry)
+            self._save()
+        ok = [h for h in self.history if h["error"] is None]
+        best = max(ok, key=lambda h: h["score"]) if ok else None
+        return {
+            "baseline": self.baseline,
+            "best": best,
+            "n_evaluated": len(self.history),
+            "n_failed": len(self.history) - len(ok),
+        }
+
+
 def run_research(
     data_root,
     tracker_type: str = "bytetrack",

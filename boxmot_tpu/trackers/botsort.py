@@ -454,12 +454,17 @@ class BotSort(BaseTracker):
         second_match_thresh: float = 0.5,
         unconfirmed_match_thresh: float = 0.7,
         unconfirmed_emb_scale: float = 2.0,
+        removed_stracks_buffer: int = 100,
         std_weight_position: float = 1.0 / 20,
         std_weight_velocity: float = 1.0 / 160,
         capacity: int = 256,
         **kwargs,
     ):
         super().__init__(**kwargs)
+        # Removed-track bookkeeping (reference botsort.py:93) is implicit in
+        # the SoA design: dead slots are recycled, so the buffer size only
+        # exists for constructor/API parity with the reference zoo configs.
+        self.removed_stracks_buffer = int(removed_stracks_buffer)
         self.buffer_size = int(frame_rate / 30.0 * track_buffer)
         self.with_reid = with_reid
         self.model = reid_model if with_reid else None

@@ -558,13 +558,19 @@ class HybridSort(BaseTracker):
         with_longterm_reid_correction: bool = True,
         longterm_reid_correction_thresh: float = 0.4,
         longterm_reid_correction_thresh_low: float = 0.4,
+        dataset: str = "",
         capacity: int = 256,
         **kwargs,
     ):
         super().__init__(**kwargs)
-        self.with_reid = with_reid and reid_model is not None
+        # reference hybridsort.py:435: with_reid is honored even without a
+        # reid_model (features may arrive per-update via embs=...).
+        self.with_reid = bool(with_reid)
         self.model = reid_model if self.with_reid else None
-        feat_dim = getattr(reid_model, "feature_dim", 512) if self.model else 1
+        self.dataset = str(dataset)  # association hint (ref :402, inactive)
+        feat_dim = getattr(reid_model, "feature_dim", 512) if self.model else (
+            512 if self.with_reid else 1
+        )
         self.cfg = HybridSortConfig(
             det_thresh=self.det_thresh,
             low_thresh=low_thresh,

@@ -53,3 +53,87 @@ def test_research_end_to_end(tmp_path):
     assert len(runner.history) == 3
     best2 = runner.run(n_candidates=3)
     assert best2["score"] == best["score"]
+
+
+# ---------------------------------------------------------------------------
+# source-candidate research (reference GEPA mechanism, runner.py:525-650)
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_editable_files_defaults_to_tracker_module():
+    from boxmot_tpu.engine.research.candidates import normalize_editable_files
+
+    files = normalize_editable_files("bytetrack")
+    assert files == ("boxmot_tpu/trackers/bytetrack.py",)
+    with pytest.raises(FileNotFoundError):
+        normalize_editable_files("not_a_tracker")
+
+
+def test_validate_candidate_catches_syntax_errors():
+    from boxmot_tpu.engine.research.candidates import validate_candidate
+
+    assert validate_candidate({"a.py": "x = 1\n"}) == []
+    errs = validate_candidate({"a.py": "def broken(:\n"})
+    assert errs and "a.py" in errs[0]
+    assert validate_candidate({"c.yaml": "a: [1,"}) != []
+
+
+def test_ast_mutation_proposer_produces_valid_variants():
+    from boxmot_tpu.engine.research.candidates import (
+        ast_mutation_proposer,
+        read_candidate,
+        validate_candidate,
+        change_summary,
+    )
+
+    seed = read_candidate(("boxmot_tpu/trackers/bytetrack.py",))
+    propose = ast_mutation_proposer()
+    rng = np.random.default_rng(0)
+    changed = 0
+    for _ in range(5):
+        cand = propose(seed, [], rng)
+        assert validate_candidate(cand) == []
+        if change_summary(seed, cand):
+            changed += 1
+    assert changed >= 3  # mutation actually edits source most of the time
+
+
+def test_source_workspace_sandbox_preflight(tmp_path):
+    from boxmot_tpu.engine.research.candidates import (
+        SourceWorkspace,
+        read_candidate,
+    )
+
+    ws = SourceWorkspace(tmp_path)
+    try:
+        files = ("boxmot_tpu/trackers/bytetrack.py",)
+        seed = read_candidate(files)
+        ws.write_candidate(seed)
+        ok = ws.preflight("bytetrack")
+        assert ok["ok"], ok
+        # A crashing candidate is contained by the sandbox
+        broken = {files[0]: seed[files[0]] + "\nraise RuntimeError('boom')\n"}
+        ws.write_candidate(broken)
+        res = ws.preflight("bytetrack")
+        assert not res["ok"] and "boom" in res["error"]
+    finally:
+        ws.cleanup()
+
+
+def test_source_research_end_to_end(tmp_path):
+    """Full offline loop: propose -> validate -> preflight -> eval -> score."""
+    from boxmot_tpu.engine.research import SourceResearchRunner
+
+    runner = SourceResearchRunner(
+        FIXTURE, "bytetrack", work_dir=tmp_path, seed=0,
+    )
+    try:
+        summary = runner.run(n_candidates=2)
+    finally:
+        runner.workspace.cleanup()
+    assert summary["n_evaluated"] == 2
+    assert runner.baseline is not None and "HOTA" in runner.baseline["metrics"]
+    assert (tmp_path / "source_research.json").exists()
+    ok = [h for h in runner.history if h["error"] is None]
+    for h in ok:
+        assert "HOTA" in h["metrics"] and np.isfinite(h["score"])
