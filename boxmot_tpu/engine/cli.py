@@ -150,10 +150,21 @@ def eval(data, benchmark, split, tracker, output_dir, cache_root, detector, reid
 @click.option("--detector", default="public", show_default=True)
 @click.option("--reid-weights", default=None, help="ReID weights path or model name")
 @click.option("--preprocess", default="resize", show_default=True)
-def generate(data, cache_root, detector, reid_weights, preprocess):
-    """Generate detection (+ embedding) caches for a MOT split."""
+@click.option("--batch-size", type=int, default=0, show_default=True,
+              help="ReID crop batch size (0 = whole frame at once)")
+@click.option("--auto-batch/--no-auto-batch", default=True, show_default=True,
+              help="Halve the batch and retry on device OOM")
+def generate(data, cache_root, detector, reid_weights, preprocess,
+             batch_size, auto_batch):
+    """Generate detection / mask / embedding caches for a MOT split."""
     from boxmot_tpu.engine.generate import run_generate
 
+    detector_model = None
+    if detector != "public" and Path(detector).exists():
+        from boxmot_tpu.detectors.registry import create_detector
+
+        detector_model = create_detector(detector)
+        detector = Path(detector).stem
     reid_model = None
     reid_name = None
     if reid_weights:
@@ -174,11 +185,14 @@ def generate(data, cache_root, detector, reid_weights, preprocess):
             data,
             cache_root,
             detector=detector,
+            detector_model=detector_model,
             reid_model=reid_model,
             reid_name=reid_name,
             preprocess=preprocess,
             verbose=True,
             progress=wp.advance,
+            batch_size=batch_size,
+            auto_batch=auto_batch,
         )
         wp.finish_step("generate")
     total = sum(s["dets"] for s in stats.values())

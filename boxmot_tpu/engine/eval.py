@@ -114,7 +114,8 @@ def run_eval(
     from boxmot_tpu.trackers.zoo import parse_tracker_spec
 
     tracker_type, tracker_backend = parse_tracker_spec(tracker_type)
-    if tracker_backend == "cpp":
+    host_tracker = tracker_type not in _TRACKER_CONFIGS and tracker_backend != "cpp"
+    if tracker_backend == "cpp" or host_tracker:
         cfg = None
     else:
         cfg = build_replay_config(tracker_type, **tracker_params)
@@ -143,6 +144,39 @@ def run_eval(
             from boxmot_tpu.native.replay import replay_sequence_native
 
             mot_rows = replay_sequence_native(tracker_type, dets, tracker_params)
+        elif host_tracker:
+            # Host-side trackers (sam2mot): per-frame update loop; seg
+            # masks come from the generate-path mask cache when present
+            # (reference replay-from-cache with masks, cache.py:930-943).
+            from boxmot_tpu.engine.mot_io import convert_to_mot_format
+            from boxmot_tpu.trackers.zoo import create_tracker
+
+            masks_pf = None
+            if cache_root is not None:
+                from boxmot_tpu.data.cache import (
+                    load_cached_masks_per_frame,
+                    mask_cache_path,
+                )
+
+                mp = mask_cache_path(cache_root, detector, seq.name)
+                if mp.exists():
+                    masks_pf = load_cached_masks_per_frame(
+                        mp, seq.seq_length,
+                        (seq.info.im_height, seq.info.im_width),
+                    )
+            trk = create_tracker(tracker_type, tracker_config=tracker_params)
+            img = np.zeros((seq.info.im_height, seq.info.im_width, 3), np.uint8)
+            rows = []
+            for f, d in enumerate(dets):
+                kw = {}
+                if masks_pf is not None:
+                    kw["masks"] = masks_pf[f]
+                out = np.asarray(trk.update(d, img, **kw))
+                if len(out):
+                    rows.append(convert_to_mot_format(out, frame_idx=f + 1))
+            mot_rows = (
+                np.concatenate(rows) if rows else np.zeros((0, 9), np.float32)
+            )
         else:
             mot_rows = replay_sequence(cfg, dets, embs_per_frame=embs)
         if postprocessing:
