@@ -31,6 +31,9 @@ def load_state_dict(path_or_dict):
         ckpt = torch.load(path_or_dict, map_location="cpu", weights_only=False)
         sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
         sd = {k: v for k, v in sd.items()}
+    # yolox checkpoints wrap the weights as {"model": state_dict, ...}
+    if isinstance(sd.get("model"), dict):
+        sd = sd["model"]
     out = {}
     for k, v in sd.items():
         k = k.removeprefix("module.").removeprefix("model.")

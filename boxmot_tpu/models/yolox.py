@@ -254,20 +254,17 @@ _DARK = {
 }
 
 
-def convert_yolox(path_or_dict, name: str = "yolox_x", num_classes: int = 1):
-    """Convert a yolox torch checkpoint ({"model": state_dict}) into Flax
-    variables for build_yolox(name).  Maps the standard yolox module tree
-    (backbone.backbone.darkN / backbone.* PAFPN / head.*)."""
-    from boxmot_tpu.models.convert import _Mapper, load_state_dict
-
-    sd = load_state_dict(path_or_dict)
-    sd = {k.removeprefix("model."): v for k, v in sd.items()}
-    m = _Mapper(sd)
+def yolox_key_spec(name: str):
+    """Yield (torch_key_prefix, flax_path, kind) for every weight tensor in
+    build_yolox(name); kind is "conv" (conv weight [+bias]) or "bn".  Both
+    the checkpoint converter and the torch-naming exporter walk this single
+    traversal, so key coverage can't drift between the two directions."""
     depth, width, dw = YOLOX_VARIANTS[resolve_yolox_variant(name)]
+    spec = []
 
     def conv_bn(tk, fpath):
-        m.conv(f"{tk}.conv", (*fpath, "conv"))
-        m.bn(f"{tk}.bn", (*fpath, "bn"))
+        spec.append((f"{tk}.conv", (*fpath, "conv"), "conv"))
+        spec.append((f"{tk}.bn", (*fpath, "bn"), "bn"))
 
     def base_or_dw(tk, fpath, is_dw):
         if is_dw:
@@ -302,11 +299,60 @@ def convert_yolox(path_or_dict, name: str = "yolox_x", num_classes: int = 1):
         for i in range(2):
             base_or_dw(f"head.cls_convs.{lvl}.{i}", (f"head_cls{lvl}_{i}",), dw)
             base_or_dw(f"head.reg_convs.{lvl}.{i}", (f"head_reg{lvl}_{i}",), dw)
-        m.conv(f"head.cls_preds.{lvl}", (f"head_cls_pred{lvl}",))
-        m.conv(f"head.reg_preds.{lvl}", (f"head_reg_pred{lvl}",))
-        m.conv(f"head.obj_preds.{lvl}", (f"head_obj_pred{lvl}",))
+        spec.append((f"head.cls_preds.{lvl}", (f"head_cls_pred{lvl}",), "conv"))
+        spec.append((f"head.reg_preds.{lvl}", (f"head_reg_pred{lvl}",), "conv"))
+        spec.append((f"head.obj_preds.{lvl}", (f"head_obj_pred{lvl}",), "conv"))
+    return spec
+
+
+def convert_yolox(path_or_dict, name: str = "yolox_x", num_classes: int = 1):
+    """Convert a yolox torch checkpoint ({"model": state_dict}) into Flax
+    variables for build_yolox(name).  Maps the standard yolox module tree
+    (backbone.backbone.darkN / backbone.* PAFPN / head.*)."""
+    from boxmot_tpu.models.convert import _Mapper, load_state_dict
+
+    sd = load_state_dict(path_or_dict)
+    sd = {k.removeprefix("model."): v for k, v in sd.items()}
+    m = _Mapper(sd)
+    for tk, fpath, kind in yolox_key_spec(name):
+        if kind == "bn":
+            m.bn(tk, fpath)
+        else:
+            m.conv(tk, fpath)
 
     unused = [k for k in sd if k not in m.used and "num_batches_tracked" not in k]
     if unused:
         raise ValueError(f"unmapped yolox checkpoint keys: {unused[:8]}...")
     return {"params": m.params, "batch_stats": m.batch_stats}
+
+
+def export_yolox(variables, name: str = "yolox_x") -> dict:
+    """Inverse of convert_yolox: Flax variables -> torch-naming state dict
+    (numpy arrays, OIHW conv layout).  Interop surface for the yolox
+    ecosystem and the converter's coverage test."""
+    import numpy as np
+
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    def get(tree, path):
+        node = tree
+        for p in path:
+            node = node[p]
+        return np.asarray(node)
+
+    sd = {}
+    for tk, fpath, kind in yolox_key_spec(name):
+        if kind == "bn":
+            sd[f"{tk}.weight"] = get(params, (*fpath, "scale"))
+            sd[f"{tk}.bias"] = get(params, (*fpath, "bias"))
+            sd[f"{tk}.running_mean"] = get(batch_stats, (*fpath, "mean"))
+            sd[f"{tk}.running_var"] = get(batch_stats, (*fpath, "var"))
+        else:
+            node = params
+            for p in fpath:
+                node = node[p]
+            # flax HWIO -> torch OIHW
+            sd[f"{tk}.weight"] = np.transpose(np.asarray(node["kernel"]), (3, 2, 0, 1))
+            if "bias" in node:
+                sd[f"{tk}.bias"] = np.asarray(node["bias"])
+    return sd

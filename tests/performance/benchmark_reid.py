@@ -44,7 +44,11 @@ def _boxes(rng, n):
     ).astype(np.float32)
 
 
-def bench_device(reid, img, boxes, repeat, pipeline=20):
+V5E_BF16_PEAK_FLOPS = 197e12  # per-chip bf16 peak, TPU v5e
+
+
+def model_flops(reid, img, boxes):
+    """XLA cost-analysis FLOPs for one forward call (crop+model+norm)."""
     import jax
     import jax.numpy as jnp
 
@@ -52,17 +56,65 @@ def bench_device(reid, img, boxes, repeat, pipeline=20):
     img_d = jax.device_put(jnp.asarray(img))
     boxes_d = jax.device_put(jnp.asarray(boxes))
     valid_d = jax.device_put(jnp.ones((n,), bool))
-    out = reid._forward(reid.variables, img_d, boxes_d, valid_d)
+    try:
+        lowered = jax.jit(reid._forward).lower(
+            reid.variables, img_d, boxes_d, valid_d
+        )
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) if cost else 0.0
+    except Exception:
+        return 0.0
+
+
+def bench_device(reid, img, boxes, repeat, pipeline=20):
+    """Pipelined throughput: `pipeline` launches over DISTINCT staged box
+    buffers (identical launches could be deduplicated/overlapped in ways
+    that overstate throughput — see VERDICT r1 weak #1), one sync per
+    batch, timed before any device->host result read."""
+    import jax
+    import jax.numpy as jnp
+
+    n = len(boxes)
+    img_d = jax.device_put(jnp.asarray(img))
+    rng = np.random.default_rng(42)
+    boxes_variants = [
+        jax.device_put(jnp.asarray(boxes + rng.uniform(0, 3, boxes.shape).astype(np.float32)))
+        for _ in range(pipeline)
+    ]
+    valid_d = jax.device_put(jnp.ones((n,), bool))
+    out = reid._forward(reid.variables, img_d, boxes_variants[0], valid_d)
     jax.block_until_ready(out)
     samples = []
     for _ in range(max(repeat // 4, 3)):
         t0 = time.perf_counter()
         outs = [
-            reid._forward(reid.variables, img_d, boxes_d, valid_d)
-            for _ in range(pipeline)
+            reid._forward(reid.variables, img_d, b, valid_d)
+            for b in boxes_variants
         ]
         jax.block_until_ready(outs)
         samples.append((time.perf_counter() - t0) / pipeline)
+    return float(np.median(samples))
+
+
+def bench_device_sync(reid, img, boxes, repeat):
+    """Single-launch latency: block after every launch (no pipelining).
+    Upper bound on per-frame time; immune to any launch-overlap artifact."""
+    import jax
+    import jax.numpy as jnp
+
+    n = len(boxes)
+    img_d = jax.device_put(jnp.asarray(img))
+    boxes_d = jax.device_put(jnp.asarray(boxes))
+    valid_d = jax.device_put(jnp.ones((n,), bool))
+    jax.block_until_ready(reid._forward(reid.variables, img_d, boxes_d, valid_d))
+    samples = []
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        out = reid._forward(reid.variables, img_d, boxes_d, valid_d)
+        jax.block_until_ready(out)
+        samples.append(time.perf_counter() - t0)
     return float(np.median(samples))
 
 
@@ -96,15 +148,27 @@ def main(argv=None):
     rows = []
     for m in models:  # pass 1: device-resident (no d2h reads yet)
         for n in counts:
+            flops = model_flops(reids[m], img, boxes[n])
             dt = bench_device(reids[m], img, boxes[n], args.repeat)
-            rows.append(
-                {
-                    "model": m,
-                    "crops": n,
-                    "ms_per_frame_device": round(dt * 1e3, 3),
-                    "embeddings_per_s": round(n / dt, 1),
-                }
-            )
+            dt_sync = bench_device_sync(reids[m], img, boxes[n], args.repeat)
+            tflops = flops / dt / 1e12 if flops else 0.0
+            mfu = tflops * 1e12 / V5E_BF16_PEAK_FLOPS if flops else 0.0
+            row = {
+                "model": m,
+                "crops": n,
+                "ms_per_frame_device": round(dt * 1e3, 3),
+                "ms_per_frame_sync": round(dt_sync * 1e3, 3),
+                "embeddings_per_s": round(n / dt, 1),
+                "gflops_per_call": round(flops / 1e9, 1),
+                "tflops": round(tflops, 1),
+                "mfu_vs_v5e_peak": round(mfu, 3),
+            }
+            if mfu > 1.0:
+                row["WARNING"] = (
+                    "implied FLOP rate exceeds v5e bf16 peak - measurement "
+                    "artifact, do not publish"
+                )
+            rows.append(row)
             print(json.dumps(rows[-1]))
     i = 0
     for m in models:  # pass 2: host end-to-end
