@@ -230,6 +230,11 @@ def scene_pan():
 
 
 SCENES = ["long", "occl", "pan"]
+SLOW = pytest.mark.slow
+# Deep (appearance) parity runs are minutes each; the default suite keeps
+# one flagship sentinel (OccluBoost occl) and defers the rest to -m slow.
+DEEP_SCENES = [pytest.param("long", marks=SLOW), pytest.param("occl", marks=SLOW)]
+DEEP_SCENES_ALL = DEEP_SCENES + [pytest.param("pan", marks=SLOW)]
 
 
 def get_scene(name, scene_long, scene_occl, scene_pan):
@@ -301,7 +306,7 @@ class TestBotSort:
         ref, repo = _pair("BotSort", with_reid=False)
         compare_tracks(run_ref(ref, frames), run_repo(repo, frames))
 
-    @pytest.mark.parametrize("scene", ["long", "occl"])
+    @pytest.mark.parametrize("scene", DEEP_SCENES)
     def test_with_reid(self, scene, scene_long, scene_occl, scene_pan):
         frames, ids = get_scene(scene, scene_long, scene_occl, scene_pan)
         embs = identity_embs(ids)
@@ -325,7 +330,7 @@ class TestDeepOcSort:
         ref, repo = _pair("DeepOcSort", embedding_off=True, cmc_off=True)
         compare_tracks(run_ref(ref, frames), run_repo(repo, frames))
 
-    @pytest.mark.parametrize("scene", ["long", "occl"])
+    @pytest.mark.parametrize("scene", DEEP_SCENES)
     def test_with_embs(self, scene, scene_long, scene_occl, scene_pan):
         frames, ids = get_scene(scene, scene_long, scene_occl, scene_pan)
         embs = identity_embs(ids)
@@ -336,7 +341,7 @@ class TestDeepOcSort:
 
 
 class TestStrongSort:
-    @pytest.mark.parametrize("scene", SCENES)
+    @pytest.mark.parametrize("scene", DEEP_SCENES_ALL)
     def test_with_embs(self, scene, scene_long, scene_occl, scene_pan):
         frames, ids = get_scene(scene, scene_long, scene_occl, scene_pan)
         embs = identity_embs(ids)
@@ -353,7 +358,7 @@ class TestBoostTrack:
         ref, repo = _pair("BoostTrack")
         compare_tracks(run_ref(ref, frames), run_repo(repo, frames))
 
-    @pytest.mark.parametrize("scene", ["long", "occl"])
+    @pytest.mark.parametrize("scene", DEEP_SCENES)
     def test_with_reid(self, scene, scene_long, scene_occl, scene_pan):
         frames, ids = get_scene(scene, scene_long, scene_occl, scene_pan)
         embs = identity_embs(ids)
@@ -362,6 +367,7 @@ class TestBoostTrack:
             run_ref(ref, frames, embs=embs), run_repo(repo, frames, embs=embs)
         )
 
+    @SLOW
     def test_plusplus(self, scene_occl):
         """BoostTrack++: rich shape similarity, soft-BIoU, visual cues."""
         frames, ids = scene_occl
@@ -377,7 +383,10 @@ class TestBoostTrack:
 
 
 class TestOccluBoost:
-    @pytest.mark.parametrize("scene", SCENES)
+    @pytest.mark.parametrize(
+        "scene",
+        [pytest.param("long", marks=SLOW), "occl", pytest.param("pan", marks=SLOW)],
+    )
     def test_with_reid(self, scene, scene_long, scene_occl, scene_pan):
         frames, ids = get_scene(scene, scene_long, scene_occl, scene_pan)
         embs = identity_embs(ids)
@@ -386,6 +395,7 @@ class TestOccluBoost:
             run_ref(ref, frames, embs=embs), run_repo(repo, frames, embs=embs)
         )
 
+    @SLOW
     def test_second_pass(self, scene_occl):
         frames, ids = scene_occl
         embs = identity_embs(ids)
@@ -403,7 +413,7 @@ class TestHybridSort:
         ref, repo = _pair("HybridSort", with_reid=False)
         compare_tracks(run_ref(ref, frames), run_repo(repo, frames))
 
-    @pytest.mark.parametrize("scene", ["long", "occl"])
+    @pytest.mark.parametrize("scene", DEEP_SCENES)
     def test_with_embs(self, scene, scene_long, scene_occl, scene_pan):
         frames, ids = get_scene(scene, scene_long, scene_occl, scene_pan)
         embs = identity_embs(ids)
