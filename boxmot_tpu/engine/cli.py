@@ -209,8 +209,13 @@ def generate(data, cache_root, detector, reid_weights, preprocess,
               help="render plot_results frames into an mp4")
 @click.option("--show-trajectories/--no-show-trajectories", default=True)
 @click.option("--show-timing", is_flag=True, help="print per-stage timing summary")
+@click.option("--detector", "detector_weights", default=None,
+              help="Detector weights: run live inference instead of det.txt")
+@click.option("--batch-size", type=int, default=0, show_default=True,
+              help="ReID crop batch size for the live pipeline")
 @click.option("--param", "-p", multiple=True)
-def track(source, tracker, reid_weights, save_txt, save_video, show_trajectories, show_timing, param):
+def track(source, tracker, reid_weights, save_txt, save_video, show_trajectories,
+          show_timing, detector_weights, batch_size, param):
     """Run live tracking over a frame source."""
     from boxmot_tpu.engine.generate import load_frame
     from boxmot_tpu.engine.mot_io import convert_to_mot_format, write_mot_results
@@ -240,24 +245,49 @@ def track(source, tracker, reid_weights, save_txt, save_video, show_trajectories
         stats = TimingStats()
         trk = TimedTracker(trk, stats)
 
-    # Detections: public det.txt if present, else error (detector backends
-    # arrive with the detector subsystem).
-    det_file = source / "det" / "det.txt"
-    if not det_file.exists():
-        raise click.ClickException(
-            "no det/det.txt next to the source; provide cached detections"
-        )
-    from boxmot_tpu.data.mot import MOTSequence
+    # Detections: live detector inference when --detector is given
+    # (DetectorReIDPipeline, the reference inference.py workflow), else
+    # the sequence's public det.txt.
+    pipeline = None
+    dets_per_frame = None
+    if detector_weights:
+        from boxmot_tpu.detectors.registry import create_detector
+        from boxmot_tpu.engine.inference import DetectorReIDPipeline
 
-    seq = MOTSequence(source)
-    dets_per_frame = seq.dets_per_frame()
+        pipeline = DetectorReIDPipeline(
+            create_detector(detector_weights),
+            reid=kwargs.get("reid_model"),
+            batch_size=batch_size,
+            timing=stats if stats is not None else None,
+        )
+        pipeline.warmup()
+    else:
+        det_file = source / "det" / "det.txt"
+        if not det_file.exists():
+            raise click.ClickException(
+                "no det/det.txt next to the source; pass --detector WEIGHTS "
+                "to run live inference"
+            )
+        from boxmot_tpu.data.mot import MOTSequence
+
+        seq = MOTSequence(source)
+        dets_per_frame = seq.dets_per_frame()
 
     writer = None
     rows = []
     for f, img_path in enumerate(frames):
         img = load_frame(img_path)
-        dets = dets_per_frame[f] if f < len(dets_per_frame) else np.zeros((0, 6), np.float32)
-        out = trk.update(dets, img)
+        if pipeline is not None:
+            dets, embs, result = pipeline(img)
+            upd_kwargs = {}
+            if embs is not None:
+                upd_kwargs["embs"] = embs
+            if result is not None and getattr(result, "masks", None) is not None:
+                upd_kwargs["masks"] = result.masks
+            out = trk.update(dets, img, **upd_kwargs)
+        else:
+            dets = dets_per_frame[f] if f < len(dets_per_frame) else np.zeros((0, 6), np.float32)
+            out = trk.update(dets, img)
         if len(out):
             rows.append(convert_to_mot_format(np.asarray(out), f + 1))
         if save_video:
