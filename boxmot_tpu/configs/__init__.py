@@ -51,6 +51,26 @@ def flatten_config(specs: dict) -> dict:
     return out
 
 
+def flatten_specs(specs: dict) -> dict:
+    """Specs with ``activates`` children promoted to the top level, each
+    keeping its full spec dict (reference flatten_yaml_config,
+    search_space.py:43-62) — the form search backends consume."""
+    out = {}
+
+    def _visit(entries: dict) -> None:
+        for key, spec in entries.items():
+            if isinstance(spec, dict):
+                out[key] = {k: v for k, v in spec.items() if k != "activates"}
+                children = spec.get("activates")
+                if isinstance(children, dict):
+                    _visit(children)
+            else:
+                out[key] = spec
+
+    _visit(specs)
+    return out
+
+
 def get_tracker_defaults(name: str) -> dict:
     try:
         return flatten_config(load_tracker_config(name))

@@ -41,6 +41,9 @@ def sample_param(spec: dict, rng: np.random.Generator):
     if kind == "qrandint":
         lo, hi, q = spec["range"]
         return int(rng.choice(np.arange(lo, hi, q)))
+    if kind == "randint":
+        lo, hi = spec["range"]
+        return int(rng.integers(lo, hi))  # upper-exclusive (Ray convention)
     if kind in ("choice", "grid_search"):
         options = _spec_options(spec)
         picked = options[int(rng.integers(len(options)))]
@@ -77,9 +80,12 @@ class GridBackend:
             kind = _spec_kind(spec)
             if kind in ("choice", "grid_search"):
                 vals = list(_spec_options(spec))
-            elif kind == "qrandint":
-                lo, hi, q = spec["range"]
+            elif kind in ("qrandint", "randint"):
+                lo, hi, q = (*spec["range"], 1)[:3]
                 vals = [int(v) for v in np.arange(lo, hi, q)]
+                if len(vals) > 2 * n_points:  # keep integer axes bounded
+                    vals = [int(v) for v in
+                            np.unique(np.linspace(lo, hi - 1, n_points).round())]
             elif kind == "uniform":
                 lo, hi = spec["range"]
                 vals = [float(v) for v in np.linspace(lo, hi, n_points)]
@@ -204,8 +210,8 @@ class TPEBackend:
                 continue
 
             log = kind == "loguniform"
-            if kind == "qrandint":
-                lo, hi, q = spec["range"]
+            if kind in ("qrandint", "randint"):
+                lo, hi, q = (*spec["range"], 1)[:3]
                 lo_f, hi_f = float(lo), float(hi - 1)
             else:
                 lo_f, hi_f = (float(v) for v in spec["range"])
@@ -221,8 +227,8 @@ class TPEBackend:
             x = float(cand[int(np.argmax(score))])
             if log:
                 x = float(np.exp(x))
-            if kind == "qrandint":
-                lo, hi, q = spec["range"]
+            if kind in ("qrandint", "randint"):
+                lo, hi, q = (*spec["range"], 1)[:3]
                 n_steps = max(0, (hi - 1 - lo) // q)  # grid: lo, lo+q, ..
                 x = int(lo + int(np.clip(round((x - lo) / q), 0, n_steps)) * q)
             out[key] = x

@@ -58,8 +58,10 @@ class Tuner:
         # from the plain tracker name
         from boxmot_tpu.trackers.zoo import parse_tracker_spec
 
+        from boxmot_tpu.configs import flatten_specs
+
         base_name, _ = parse_tracker_spec(tracker_type)
-        self.specs = search_space or load_tracker_config(base_name)
+        self.specs = flatten_specs(search_space or load_tracker_config(base_name))
         self.objective = objective
         self.work_dir = Path(work_dir) if work_dir else None
         self.rng = np.random.default_rng(seed)

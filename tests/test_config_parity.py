@@ -89,3 +89,47 @@ def test_zoo_params_equal_reference_zoo(name):
     }
     repo_defaults = flatten_config(load_tracker_config(name))
     assert repo_defaults == ref_defaults
+
+
+@pytest.mark.parametrize("name", TRACKERS)
+def test_search_backends_cover_reference_vocabulary(name):
+    """Every reference search-space type (uniform/randint/qrandint/choice,
+    nested activates) must be samplable by the tuning backends."""
+    import numpy as np
+
+    from boxmot_tpu.configs import flatten_specs
+    from boxmot_tpu.engine.tuning.backends import sample_param
+
+    specs = flatten_specs(load_tracker_config(name))
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        for key, spec in specs.items():
+            if not isinstance(spec, dict) or "type" not in spec:
+                continue
+            v = sample_param(spec, rng)
+            kind = spec["type"]
+            if kind in ("randint", "qrandint"):
+                assert isinstance(v, int)
+                lo, hi = spec["range"][:2]
+                assert lo <= v < hi
+            elif kind == "uniform":
+                lo, hi = spec["range"]
+                assert lo <= v <= hi
+
+
+def test_tpe_backend_on_randint_space():
+    import numpy as np
+
+    from boxmot_tpu.configs import flatten_specs
+    from boxmot_tpu.engine.tuning.backends import create_backend
+
+    specs = flatten_specs(load_tracker_config("boosttrack"))
+    specs = {k: v for k, v in specs.items() if isinstance(v, dict) and "type" in v}
+    backend = create_backend("tpe", specs, seed=0)
+    history = []
+    rng = np.random.default_rng(1)
+    for i in range(12):
+        params = backend.suggest(history)
+        for key, spec in specs.items():
+            assert key in params
+        history.append({"params": params, "score": float(rng.uniform()), "error": None})

@@ -39,7 +39,7 @@ def test_sample_config_from_yaml():
     cfg = sample_config(specs, rng)
     assert set(cfg) == set(specs)
     defaults = flatten_config(specs)
-    assert defaults["track_thresh"] == 0.45
+    assert defaults["track_thresh"] == 0.6  # reference YAML tier value
 
 
 def test_tuner_end_to_end(tmp_path):
