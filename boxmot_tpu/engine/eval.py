@@ -44,6 +44,15 @@ _TRACKER_CONFIGS = {
 
 
 def build_replay_config(tracker_type: str, **params):
+    """Replay config from the YAML tier + explicit overrides.
+
+    The zoo/native backends consume configs/trackers/<name>.yaml defaults
+    (the reference benchmark configurations); the device replay path must
+    use the same tier so all backends evaluate identically.  ``with_reid``
+    defaults off when the caller provides no embedding source (the
+    reference eval always has reid weights for appearance trackers; a
+    motion-only replay with constant features is not that configuration).
+    """
     try:
         cfg_cls = _TRACKER_CONFIGS[tracker_type]
     except KeyError:
@@ -51,8 +60,11 @@ def build_replay_config(tracker_type: str, **params):
             f"No replay config for tracker {tracker_type!r}; "
             f"available: {sorted(_TRACKER_CONFIGS)}"
         ) from None
+    from boxmot_tpu.configs import get_tracker_defaults
+
+    merged = {**get_tracker_defaults(tracker_type), **params}
     fields = {f for f in cfg_cls.__dataclass_fields__}
-    return cfg_cls(**{k: v for k, v in params.items() if k in fields})
+    return cfg_cls(**{k: v for k, v in merged.items() if k in fields})
 
 
 def load_kf_noise_params(kf_noise) -> dict:
@@ -118,6 +130,10 @@ def run_eval(
     if tracker_backend == "cpp" or host_tracker:
         cfg = None
     else:
+        if reid is None:
+            # no embedding cache: appearance terms off (cpp backend and
+            # the reference motion-only runs behave the same way)
+            tracker_params.setdefault("with_reid", False)
         cfg = build_replay_config(tracker_type, **tracker_params)
     def _process(seq):
         embs = None

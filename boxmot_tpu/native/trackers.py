@@ -287,13 +287,15 @@ class NativeTracker:
                 "native ocsort supports asso_func='iou' only "
                 "(matching the reference native core, docs/native/index.md:31)"
             )
-        if params.get("reid_model") is not None or (
-            tracker_type == "boosttrack" and params.get("with_reid")
-        ):
+        if params.get("reid_model") is not None:
             raise ValueError(
                 f"native {tracker_type} is motion-only; use the device "
                 "program for the ReID path"
             )
+        # with_reid without a reid_model downgrades to motion-only, the
+        # same gate the python trackers apply (with_reid and reid_model
+        # is not None) — the reference YAML tier defaults with_reid=True.
+        params.pop("with_reid", None)
         self._cfg = ";".join(
             f"{k}={float(params[k])}"
             for k in keys

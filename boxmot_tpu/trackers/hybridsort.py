@@ -568,6 +568,7 @@ class HybridSort(BaseTracker):
         self.with_reid = bool(with_reid)
         self.model = reid_model if self.with_reid else None
         self.dataset = str(dataset)  # association hint (ref :402, inactive)
+        self._warned_no_feats = False
         feat_dim = getattr(reid_model, "feature_dim", 512) if self.model else (
             512 if self.with_reid else 1
         )
@@ -624,6 +625,18 @@ class HybridSort(BaseTracker):
             elif self.model is not None and img is not None:
                 emb_pad[:n] = self.model.get_features(
                     np.asarray(dets_padded)[:n, :4], img
+                )
+            elif not self._warned_no_feats:
+                # The reference errors out in this configuration (its
+                # model is None); we run with constant features instead
+                # but say so once.
+                self._warned_no_feats = True
+                from boxmot_tpu.utils.logging import LOGGER
+
+                LOGGER.warning(
+                    "hybridsort: with_reid=True but no reid_model and no "
+                    "embs supplied — appearance terms see constant "
+                    "features; pass with_reid=False for motion-only"
                 )
         if self.cmc is not None and img is not None:
             warp = self.cmc.apply(img, np.asarray(dets_padded)[:n, :4])

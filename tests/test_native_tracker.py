@@ -329,8 +329,9 @@ class TestParityVsDevice:
         kw = dict(instant_confirm_thresh=0.95, confirm_hits=2)
         jax_trk = create_tracker("occluboost", use_cmc=False, **kw)
         cpp_trk = create_tracker("occluboost:cpp", **kw)
-        # conf 0.65 < instant_confirm 0.95: born tentative, no frame-1 emit
-        dets = np.array([[10, 10, 60, 110, 0.65, 0]], np.float32)
+        # conf 0.8: above new_track_thresh (0.713, reference tier) so a
+        # track is born, below instant_confirm 0.95 so it starts tentative
+        dets = np.array([[10, 10, 60, 110, 0.8, 0]], np.float32)
         emitted = []
         for f in range(4):
             out_j = np.asarray(jax_trk.update(dets, IMG))
@@ -485,7 +486,8 @@ class TestParityVsDevice:
         from boxmot_tpu.trackers.zoo import create_tracker
 
         frames = moving_scene(n_frames=40, n_obj=6, seed=seed, low_conf_p=0.3)
-        jax_trk = create_tracker("hybridsort", use_byte=use_byte)
+        # motion-only configuration (the YAML tier defaults with_reid=True)
+        jax_trk = create_tracker("hybridsort", use_byte=use_byte, with_reid=False)
         assert isinstance(jax_trk, HybridSort) and not jax_trk.with_reid
         cpp_trk = create_tracker("hybridsort:cpp", use_byte=use_byte)
         for f, dets in enumerate(frames):
@@ -667,7 +669,7 @@ class TestParityVsDevice:
         d0 = np.array([[10, 10, 70, 140, 0.9, 0.0]], np.float32)
         d1 = np.array([[200, 30, 260, 160, 0.85, 1.0]], np.float32)
         trk.update(np.concatenate([d0, d1]), IMG)
-        for _ in range(30):  # class 1 vanishes past max_time_lost
+        for _ in range(35):  # class 1 vanishes past max_time_lost (buffer 30)
             trk.update(d0, IMG)
         # two frames: the reborn class-1 track confirms on its 2nd match
         trk.update(np.concatenate([d0, d1]), IMG)
@@ -680,8 +682,11 @@ class TestParityVsDevice:
     def test_boosttrack_reid_rejected(self):
         from boxmot_tpu.native.trackers import NativeTracker
 
+        # with_reid alone downgrades to motion-only (python gate parity);
+        # an actual reid model is rejected
+        NativeTracker("boosttrack", with_reid=True)
         with pytest.raises(ValueError):
-            NativeTracker("boosttrack", with_reid=True)
+            NativeTracker("boosttrack", reid_model=object())
 
     def test_occlusion_lost_recovery(self):
         """A track lost for a few frames keeps its id on the cpp core too."""
