@@ -101,20 +101,39 @@ def eval(data, benchmark, split, tracker, output_dir, cache_root, detector, reid
     if not data:
         raise click.ClickException("provide --data or --benchmark")
 
-    res = run_eval(
-        data,
-        tracker,
-        tracker_params=params,
-        output_dir=output_dir,
-        cache_root=cache_root,
-        detector=detector,
-        reid=reid,
-        min_det_conf=min_det_conf,
-        postprocessing=postprocessing,
-        verbose=True,
+    from boxmot_tpu.utils import reporters as rep
+
+    reporter = rep.EvalReporter(
+        benchmark=benchmark, data=data, tracker=tracker, tuned=tuned,
+        postprocessing=postprocessing, detector=detector, reid=reid,
         n_workers=n_workers,
-        kf_noise=kf_noise,
     )
+    with reporter.start(use_rich) as wp:
+        wp.start_step(rep.SETUP)
+        wp.finish_step(rep.SETUP)
+        wp.start_step(rep.TRACK, detail=str(data))
+        res = run_eval(
+            data,
+            tracker,
+            tracker_params=params,
+            output_dir=output_dir,
+            cache_root=cache_root,
+            detector=detector,
+            reid=reid,
+            min_det_conf=min_det_conf,
+            postprocessing=postprocessing,
+            verbose=True,
+            n_workers=n_workers,
+            kf_noise=kf_noise,
+            progress=lambda name, done, total: wp.advance("sequences", done, total),
+        )
+        wp.finish_step(rep.TRACK)
+        if postprocessing:
+            # chained inside run_eval per sequence; surface as done
+            wp.start_step(rep.POSTPROCESS, detail=postprocessing)
+            wp.finish_step(rep.POSTPROCESS)
+        wp.start_step(rep.EVALUATE)
+        wp.finish_step(rep.EVALUATE)
     c = res["combined"]
     from boxmot_tpu.utils.rich_ui import metrics_table, want_rich
 
@@ -177,10 +196,17 @@ def generate(data, cache_root, detector, reid_weights, preprocess,
         else:
             reid_model = ReID(model_name=reid_weights, preprocess_name=preprocess)
         reid_name = reid_model.model_name
-    from boxmot_tpu.utils.rich_ui import WorkflowProgress
+    from boxmot_tpu.utils import reporters as rep
 
-    with WorkflowProgress(["generate"], title="boxmot-tpu generate") as wp:
-        wp.start_step("generate", detail=str(data))
+    reporter = rep.GenerateReporter(
+        data=data, cache_root=cache_root, detector=detector,
+        reid_weights=reid_weights, preprocess=preprocess,
+        batch_size=batch_size,
+    )
+    with reporter.start() as wp:
+        wp.start_step(rep.SETUP)
+        wp.finish_step(rep.SETUP)
+        wp.start_step(rep.GENERATE, detail=str(data))
         stats = run_generate(
             data,
             cache_root,
@@ -194,7 +220,7 @@ def generate(data, cache_root, detector, reid_weights, preprocess,
             batch_size=batch_size,
             auto_batch=auto_batch,
         )
-        wp.finish_step("generate")
+        wp.finish_step(rep.GENERATE)
     total = sum(s["dets"] for s in stats.values())
     click.echo(f"cached {total} detections across {len(stats)} sequences")
 
@@ -229,86 +255,97 @@ def track(source, tracker, reid_weights, save_txt, save_video, show_trajectories
     if not frames:
         raise click.ClickException(f"no frames under {img_dir}")
 
-    kwargs = _parse_params(param)
-    if reid_weights and tracker in REID_TRACKERS:
-        from boxmot_tpu.reid import ReID
+    from boxmot_tpu.utils import reporters as rep
 
-        if Path(reid_weights).exists():
-            kwargs["reid_model"] = ReID(weights=reid_weights)
-        else:
-            kwargs["reid_model"] = ReID(model_name=reid_weights)
-    trk = create_tracker(tracker, **kwargs)
-    stats = None
-    if show_timing:
-        from boxmot_tpu.utils.timing import TimedTracker, TimingStats
+    reporter = rep.TrackReporter(
+        tracker=tracker, reid_weights=reid_weights, detector=detector_weights,
+        source=str(source), save_txt=save_txt, save_video=save_video,
+    )
+    with reporter.start() as wp:
+        wp.start_step(rep.SETUP)
+        kwargs = _parse_params(param)
+        if reid_weights and tracker in REID_TRACKERS:
+            from boxmot_tpu.reid import ReID
 
-        stats = TimingStats()
-        trk = TimedTracker(trk, stats)
+            if Path(reid_weights).exists():
+                kwargs["reid_model"] = ReID(weights=reid_weights)
+            else:
+                kwargs["reid_model"] = ReID(model_name=reid_weights)
+        trk = create_tracker(tracker, **kwargs)
+        stats = None
+        if show_timing:
+            from boxmot_tpu.utils.timing import TimedTracker, TimingStats
 
-    # Detections: live detector inference when --detector is given
-    # (DetectorReIDPipeline, the reference inference.py workflow), else
-    # the sequence's public det.txt.
-    pipeline = None
-    dets_per_frame = None
-    if detector_weights:
-        from boxmot_tpu.detectors.registry import create_detector
-        from boxmot_tpu.engine.inference import DetectorReIDPipeline
+            stats = TimingStats()
+            trk = TimedTracker(trk, stats)
 
-        pipeline = DetectorReIDPipeline(
-            create_detector(detector_weights),
-            reid=kwargs.get("reid_model"),
-            batch_size=batch_size,
-            timing=stats if stats is not None else None,
-        )
-        pipeline.warmup()
-    else:
-        det_file = source / "det" / "det.txt"
-        if not det_file.exists():
-            raise click.ClickException(
-                "no det/det.txt next to the source; pass --detector WEIGHTS "
-                "to run live inference"
+        # Detections: live detector inference when --detector is given
+        # (DetectorReIDPipeline, the reference inference.py workflow), else
+        # the sequence's public det.txt.
+        pipeline = None
+        dets_per_frame = None
+        if detector_weights:
+            from boxmot_tpu.detectors.registry import create_detector
+            from boxmot_tpu.engine.inference import DetectorReIDPipeline
+
+            pipeline = DetectorReIDPipeline(
+                create_detector(detector_weights),
+                reid=kwargs.get("reid_model"),
+                batch_size=batch_size,
+                timing=stats if stats is not None else None,
             )
-        from boxmot_tpu.data.mot import MOTSequence
-
-        seq = MOTSequence(source)
-        dets_per_frame = seq.dets_per_frame()
-
-    writer = None
-    rows = []
-    for f, img_path in enumerate(frames):
-        img = load_frame(img_path)
-        if pipeline is not None:
-            dets, embs, result = pipeline(img)
-            upd_kwargs = {}
-            if embs is not None:
-                upd_kwargs["embs"] = embs
-            if result is not None and getattr(result, "masks", None) is not None:
-                upd_kwargs["masks"] = result.masks
-            out = trk.update(dets, img, **upd_kwargs)
+            pipeline.warmup()
         else:
-            dets = dets_per_frame[f] if f < len(dets_per_frame) else np.zeros((0, 6), np.float32)
-            out = trk.update(dets, img)
-        if len(out):
-            rows.append(convert_to_mot_format(np.asarray(out), f + 1))
-        if save_video:
-            import cv2
-
-            canvas = trk.plot_results(
-                np.ascontiguousarray(img), show_trajectories=show_trajectories
-            )
-            if writer is None:
-                writer = cv2.VideoWriter(
-                    str(save_video),
-                    cv2.VideoWriter_fourcc(*"mp4v"),
-                    30,
-                    (canvas.shape[1], canvas.shape[0]),
+            det_file = source / "det" / "det.txt"
+            if not det_file.exists():
+                raise click.ClickException(
+                    "no det/det.txt next to the source; pass --detector WEIGHTS "
+                    "to run live inference"
                 )
-                if not writer.isOpened():
-                    raise click.ClickException(
-                        f"cannot open video writer at {save_video}"
+            from boxmot_tpu.data.mot import MOTSequence
+
+            seq = MOTSequence(source)
+            dets_per_frame = seq.dets_per_frame()
+
+        wp.finish_step(rep.SETUP)
+        wp.start_step(rep.TRACK)
+        writer = None
+        rows = []
+        for f, img_path in enumerate(frames):
+            img = load_frame(img_path)
+            if pipeline is not None:
+                dets, embs, result = pipeline(img)
+                upd_kwargs = {}
+                if embs is not None:
+                    upd_kwargs["embs"] = embs
+                if result is not None and getattr(result, "masks", None) is not None:
+                    upd_kwargs["masks"] = result.masks
+                out = trk.update(dets, img, **upd_kwargs)
+            else:
+                dets = dets_per_frame[f] if f < len(dets_per_frame) else np.zeros((0, 6), np.float32)
+                out = trk.update(dets, img)
+            if len(out):
+                rows.append(convert_to_mot_format(np.asarray(out), f + 1))
+            if save_video:
+                import cv2
+
+                canvas = trk.plot_results(
+                    np.ascontiguousarray(img), show_trajectories=show_trajectories
+                )
+                if writer is None:
+                    writer = cv2.VideoWriter(
+                        str(save_video),
+                        cv2.VideoWriter_fourcc(*"mp4v"),
+                        30,
+                        (canvas.shape[1], canvas.shape[0]),
                     )
-            writer.write(canvas)
-        click.echo(f"frame {f + 1}/{len(frames)}: {len(out)} tracks")
+                    if not writer.isOpened():
+                        raise click.ClickException(
+                            f"cannot open video writer at {save_video}"
+                        )
+                writer.write(canvas)
+            wp.advance("frames", f + 1, len(frames))
+        wp.finish_step(rep.TRACK, detail=f"{len(frames)} frames")
     if writer is not None:
         writer.release()
         click.echo(f"wrote video to {save_video}")
@@ -378,9 +415,38 @@ def tune_kf(data, tracker, kf_type, dets, iou_threshold, per_class, out):
 def tune(data, tracker, n_trials, work_dir, seed, backend):
     """Tune tracker hyperparameters over cached replays."""
     from boxmot_tpu.engine.tuning import run_tune
+    from boxmot_tpu.utils import reporters as rep
 
-    best = run_tune(data, tracker, n_trials=n_trials, work_dir=work_dir,
-                    seed=seed, backend=backend)
+    reporter = rep.TuneReporter(
+        data=data, tracker=tracker, backend=backend, n_trials=n_trials,
+        seed=seed, work_dir=work_dir,
+    )
+    feed = rep.TrialFeed()
+    with reporter.start() as wp:
+        def _on_trial(trial):
+            feed.record(trial)
+            if wp._use_rich:
+                wp.extra = feed.renderable()
+            else:
+                click.echo(feed.log_line(trial))
+            wp.advance("trials", len(feed.rows), n_trials)
+
+        wp.start_step(rep.SETUP)
+        wp.finish_step(rep.SETUP)
+        wp.start_step(rep.OPTIMIZE, detail=f"{backend} x{n_trials}")
+        best = run_tune(data, tracker, n_trials=n_trials, work_dir=work_dir,
+                        seed=seed, backend=backend, trial_callback=_on_trial)
+        wp.finish_step(rep.OPTIMIZE)
+    if rep.want_rich():
+        from rich.console import Console
+
+        rep.artifacts_table(
+            {
+                "Trials log": str(Path(work_dir) / "trials.json"),
+                "Best config": str(Path(work_dir) / "best.yaml"),
+            },
+            console=Console(),
+        )
     click.echo(f"best score {best['score']:.4f} with params:")
     for k, v in best["params"].items():
         click.echo(f"  {k}: {v}")
@@ -429,14 +495,51 @@ def train(data, model, dataset, steps, lr, p, k, ckpt_dir, resume):
 )
 def research(data, tracker, n_candidates, work_dir, seed, edit_source, editable_files):
     """Iterative candidate-proposal research loop over a benchmark."""
+    from boxmot_tpu.utils import reporters as rep
+
+    reporter = rep.ResearchReporter(
+        data=data, tracker=tracker, n_candidates=n_candidates,
+        edit_source=edit_source,
+    )
+
+    def _wire_phases(wp, runner):
+        def on_phase(stage, done, total):
+            if stage == "baseline":
+                if wp.pipeline[rep.PREPARE].state == "running":
+                    wp.finish_step(rep.PREPARE)
+                wp.start_step(rep.BASELINE)
+            elif stage == "candidates":
+                if wp.pipeline[rep.PREPARE].state == "running":
+                    wp.finish_step(rep.PREPARE)
+                if wp.pipeline[rep.BASELINE].state == "running":
+                    wp.finish_step(rep.BASELINE)
+                elif wp.pipeline[rep.BASELINE].state == "pending":
+                    wp.finish_step(rep.BASELINE, "skipped", "resumed")
+                if wp.pipeline[rep.PROPOSE].state == "pending":
+                    wp.start_step(rep.PROPOSE)
+                wp.advance("candidates", done, total)
+
+        runner.phase_callback = on_phase
+
     if edit_source:
         from boxmot_tpu.engine.research import SourceResearchRunner
 
-        runner = SourceResearchRunner(
-            data, tracker, editable_files=list(editable_files) or None,
-            work_dir=work_dir, seed=seed,
-        )
-        summary = runner.run(n_candidates=n_candidates)
+        with reporter.start() as wp:
+            wp.start_step(rep.PREPARE)
+            runner = SourceResearchRunner(
+                data, tracker, editable_files=list(editable_files) or None,
+                work_dir=work_dir, seed=seed,
+            )
+            _wire_phases(wp, runner)
+            summary = runner.run(n_candidates=n_candidates)
+            if wp.pipeline[rep.PROPOSE].state == "running":
+                wp.finish_step(rep.PROPOSE)
+            wp.start_step(rep.BEST)
+            wp.finish_step(
+                rep.BEST,
+                detail="none beat baseline" if summary["best"] is None
+                else summary["best"]["tag"],
+            )
         best = summary["best"]
         click.echo(
             f"evaluated {summary['n_evaluated']} source candidates "
@@ -453,9 +556,17 @@ def research(data, tracker, n_candidates, work_dir, seed, edit_source, editable_
                 click.echo(f"  {ch['path']}: +{ch['added']} -{ch['removed']}")
         return
 
-    from boxmot_tpu.engine.research import run_research
+    from boxmot_tpu.engine.research import ResearchRunner
 
-    best = run_research(data, tracker, n_candidates=n_candidates, work_dir=work_dir, seed=seed)
+    with reporter.start() as wp:
+        wp.start_step(rep.PREPARE)
+        runner = ResearchRunner(data, tracker, work_dir=work_dir, seed=seed)
+        _wire_phases(wp, runner)
+        best = runner.run(n_candidates=n_candidates)
+        if wp.pipeline[rep.PROPOSE].state == "running":
+            wp.finish_step(rep.PROPOSE)
+        wp.start_step(rep.BEST)
+        wp.finish_step(rep.BEST, detail=f"score {best['score']:+.4f}")
     click.echo(f"best score {best['score']:+.4f}  HOTA {100 * best['metrics']['HOTA']:.2f}")
     for k, v in best["params"].items():
         click.echo(f"  {k}: {v}")
@@ -476,32 +587,55 @@ def export(weights, model, include, out_dir, imgsz, int8, do_verify):
     from boxmot_tpu.reid import ReID
     from boxmot_tpu.reid import exporters as ex
 
-    hw = tuple(int(v) for v in imgsz.split(","))
-    reid = ReID(weights=weights, model_name=None if weights else model, crop_hw=hw)
-    out = Path(out_dir)
-    out.mkdir(parents=True, exist_ok=True)
-    stem = reid.model_name
-    targets = [t.strip() for t in include.split(",") if t.strip()]
-    for target in targets:
-        if target == "checkpoint":
-            path = ex.export_checkpoint(reid.variables, out / f"{stem}.msgpack")
-        elif target == "torch":
-            path = ex.export_torch_state_dict(reid.variables, out / f"{stem}.pt")
-        elif target == "saved_model":
-            path = ex.export_saved_model(reid.model, reid.variables, out / f"{stem}_saved", hw=hw)
-        elif target == "tflite":
-            path = ex.export_tflite(
-                reid.model, reid.variables, out / f"{stem}.tflite", hw=hw, quantize="dynamic" if int8 else None
-            )
-            if do_verify:
-                diff = ex.verify_export(reid.model, reid.variables, path, hw=hw, atol=5e-3)
-                click.echo(f"tflite max |diff| vs flax: {diff:.2e}")
-        else:
-            raise click.ClickException(
-                f"unknown export target {target!r}; "
-                "choose from checkpoint,torch,saved_model,tflite"
-            )
-        click.echo(f"exported {target} -> {path}")
+    from boxmot_tpu.utils import reporters as rep
+
+    reporter = rep.ExportReporter(
+        model=model, weights=weights, imgsz=imgsz, include=include,
+        int8=int8, do_verify=do_verify, out_dir=out_dir,
+    )
+    artifacts: dict[str, str] = {}
+    verify_notes: list[str] = []
+    with reporter.start() as wp:
+        wp.start_step(rep.SETUP)
+        hw = tuple(int(v) for v in imgsz.split(","))
+        reid = ReID(weights=weights, model_name=None if weights else model, crop_hw=hw)
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        stem = reid.model_name
+        targets = [t.strip() for t in include.split(",") if t.strip()]
+        wp.finish_step(rep.SETUP)
+        wp.start_step(rep.EXPORT)
+        for i, target in enumerate(targets):
+            if target == "checkpoint":
+                path = ex.export_checkpoint(reid.variables, out / f"{stem}.msgpack")
+            elif target == "torch":
+                path = ex.export_torch_state_dict(reid.variables, out / f"{stem}.pt")
+            elif target == "saved_model":
+                path = ex.export_saved_model(reid.model, reid.variables, out / f"{stem}_saved", hw=hw)
+            elif target == "tflite":
+                path = ex.export_tflite(
+                    reid.model, reid.variables, out / f"{stem}.tflite", hw=hw, quantize="dynamic" if int8 else None
+                )
+                if do_verify:
+                    diff = ex.verify_export(reid.model, reid.variables, path, hw=hw, atol=5e-3)
+                    verify_notes.append(f"tflite max |diff| vs flax: {diff:.2e}")
+            else:
+                raise click.ClickException(
+                    f"unknown export target {target!r}; "
+                    "choose from checkpoint,torch,saved_model,tflite"
+                )
+            artifacts[target] = str(path)
+            wp.advance("targets", i + 1, len(targets))
+        wp.finish_step(rep.EXPORT, detail=f"{len(targets)} formats")
+    for note in verify_notes:
+        click.echo(note)
+    if rep.want_rich():
+        from rich.console import Console
+
+        rep.artifacts_table(artifacts, console=Console())
+    else:
+        for target, path in artifacts.items():
+            click.echo(f"exported {target} -> {path}")
 
 
 @cli.command("eval-reid")

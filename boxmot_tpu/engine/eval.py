@@ -95,6 +95,7 @@ def run_eval(
     verbose: bool = False,
     kf_noise=None,
     n_workers: int = 1,
+    progress=None,
 ) -> dict:
     """Evaluate a tracker over all sequences under data_root.
 
@@ -216,6 +217,12 @@ def run_eval(
         return seq.name, entry
 
     seq_data = {}
+    n_total = len(dataset)
+
+    def _advance(name):
+        if progress is not None:
+            progress(name, len(seq_data), n_total)
+
     if tracker_backend == "cpp" and n_workers > 1 and len(dataset) > 1:
         # the native cores release the GIL inside bmt_tracker_update, so
         # a thread pool over sequences parallelizes on multi-core hosts
@@ -226,6 +233,7 @@ def run_eval(
         with ThreadPoolExecutor(max_workers=n_workers) as pool:
             for name, entry in pool.map(_process, dataset):
                 seq_data[name] = entry
+                _advance(name)
     else:
         # the device path stays serial: one chip, one replay program at a
         # time (multi-chip spreads sequences over a Mesh instead —
@@ -233,6 +241,7 @@ def run_eval(
         for seq in dataset:
             name, entry = _process(seq)
             seq_data[name] = entry
+            _advance(name)
     results = evaluate_sequences(seq_data)
     if verbose:
         c = results["combined"]

@@ -55,7 +55,10 @@ def normalize_editable_files(tracker: str, editable_files=None) -> tuple[str, ..
                 raise FileNotFoundError(f"editable file not found: {p}")
             rels.append(p.as_posix())
         return tuple(dict.fromkeys(rels))
-    mod = PACKAGE_ROOT / "boxmot_tpu" / "trackers" / f"{tracker.lower()}.py"
+    from boxmot_tpu.trackers.zoo import parse_tracker_spec
+
+    base_name, _ = parse_tracker_spec(tracker)
+    mod = PACKAGE_ROOT / "boxmot_tpu" / "trackers" / f"{base_name.lower()}.py"
     if not mod.exists():
         raise FileNotFoundError(f"no tracker module for {tracker!r}: {mod}")
     return (mod.relative_to(PACKAGE_ROOT).as_posix(),)

@@ -75,12 +75,18 @@ class ResearchRunner:
     ):
         self.data_root = Path(data_root)
         self.tracker_type = tracker_type
-        self.specs = load_tracker_config(tracker_type)
+        # "name:cpp" researches over the native cores; the search space
+        # comes from the plain tracker name (same contract as the tuner)
+        from boxmot_tpu.trackers.zoo import parse_tracker_spec
+
+        base_name, _ = parse_tracker_spec(tracker_type)
+        self.specs = load_tracker_config(base_name)
         self.propose_fn = propose_fn or mutation_proposer(self.specs)
         self.objective = objective
         self.work_dir = Path(work_dir) if work_dir else None
         self.rng = np.random.default_rng(seed)
         self.eval_kwargs = dict(eval_kwargs or {})
+        self.phase_callback = None  # optional: phase_callback(stage, done, total)
         self.history: list[dict] = []
         self.baseline: dict | None = None
         if self.work_dir:
@@ -116,14 +122,20 @@ class ResearchRunner:
         c = res["combined"]
         return {"HOTA": float(c["HOTA"]), "MOTA": float(c["MOTA"]), "IDF1": float(c["IDF1"])}
 
+    def _phase(self, stage: str, done: int = 0, total: int = 0) -> None:
+        if self.phase_callback is not None:
+            self.phase_callback(stage, done, total)
+
     def run(self, n_candidates: int = 10) -> dict:
         if self.baseline is None:
+            self._phase("baseline")
             base_params = flatten_config(self.specs)
             self.baseline = {
                 "params": base_params,
                 "metrics": self._evaluate(base_params),
             }
             self._save()
+        self._phase("candidates", len(self.history), n_candidates)
         while len(self.history) < n_candidates:
             params = self.propose_fn(self.history, self.rng)
             t0 = time.perf_counter()
@@ -144,6 +156,7 @@ class ResearchRunner:
                 }
             )
             self._save()
+            self._phase("candidates", len(self.history), n_candidates)
         return self.best()
 
     def best(self) -> dict:
@@ -222,6 +235,7 @@ class SourceResearchRunner:
         self.eval_kwargs = dict(eval_kwargs or {})
         self.penalties = penalties or PenaltyConfig()
         self.workspace = SourceWorkspace(self.work_dir)
+        self.phase_callback = None  # optional: phase_callback(stage, done, total)
         self.history: list[dict] = []
         self.baseline: dict | None = None
         log = self.work_dir / "source_research.json"
@@ -258,12 +272,16 @@ class SourceResearchRunner:
         from boxmot_tpu.engine.research.candidates import change_summary
 
         if self.baseline is None:
+            if self.phase_callback is not None:
+                self.phase_callback("baseline", 0, 0)
             base = self._eval_candidate(self.seed_candidate, "baseline")
             if not base.get("ok"):
                 raise RuntimeError(f"baseline evaluation failed: {base.get('error')}")
             self.baseline = {"metrics": base["metrics"]}
             self._save()
         best_candidate = dict(self.seed_candidate)
+        if self.phase_callback is not None:
+            self.phase_callback("candidates", len(self.history), n_candidates)
         while len(self.history) < n_candidates:
             feedback = [
                 {
@@ -308,6 +326,8 @@ class SourceResearchRunner:
             entry["seconds"] = round(time.perf_counter() - t0, 2)
             self.history.append(entry)
             self._save()
+            if self.phase_callback is not None:
+                self.phase_callback("candidates", len(self.history), n_candidates)
         ok = [h for h in self.history if h["error"] is None]
         best = max(ok, key=lambda h: h["score"]) if ok else None
         return {

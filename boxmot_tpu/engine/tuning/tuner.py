@@ -50,6 +50,7 @@ class Tuner:
         eval_kwargs: dict | None = None,
         backend: str = "random",
         backend_kwargs: dict | None = None,
+        trial_callback=None,
     ):
         self.data_root = Path(data_root)
         self.tracker_type = tracker_type
@@ -69,6 +70,7 @@ class Tuner:
         self.backend = create_backend(
             backend, self.specs, seed=seed, **(backend_kwargs or {})
         )
+        self.trial_callback = trial_callback
         self.trials: list[dict] = []
         if self.work_dir:
             self.work_dir.mkdir(parents=True, exist_ok=True)
@@ -114,6 +116,8 @@ class Tuner:
             }
         )
         self._save()
+        if self.trial_callback is not None:
+            self.trial_callback(self.trials[-1])
 
     def fit(self, n_trials: int = 20, include_default: bool = True) -> dict:
         """Run trials (resuming any persisted history); returns the best.
@@ -165,6 +169,7 @@ def run_tune(
     base_params: dict | None = None,
     eval_kwargs: dict | None = None,
     backend: str = "random",
+    trial_callback=None,
 ) -> dict:
     tuner = Tuner(
         data_root,
@@ -174,6 +179,7 @@ def run_tune(
         seed=seed,
         eval_kwargs=eval_kwargs,
         backend=backend,
+        trial_callback=trial_callback,
     )
     best = tuner.fit(n_trials=n_trials)
     if work_dir:

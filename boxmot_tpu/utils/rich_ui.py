@@ -131,20 +131,29 @@ class WorkflowProgress:
     """
 
     def __init__(self, steps: list[str], title: str = "boxmot-tpu",
-                 force_rich: bool | None = None):
+                 force_rich: bool | None = None, console=None):
         self.pipeline = PipelineTracker(steps)
         self.title = title
+        self.header = None  # optional renderable above the steps (summary cards)
+        self.extra = None   # optional renderable below the bars (e.g. TrialFeed)
+        self._console = console
         self._use_rich = want_rich(force_rich)
         self._live = None
         self._progress = None
         self._tasks: dict[str, object] = {}
         self._last_log = 0.0
 
+    def _build_panel(self):
+        from rich.console import Group
+        from rich.panel import Panel
+
+        parts = [p for p in (self.header, render_pipeline(self.pipeline),
+                             self._progress, self.extra) if p is not None]
+        return Panel(Group(*parts), title=self.title)
+
     def __enter__(self):
         if self._use_rich:
-            from rich.console import Group
             from rich.live import Live
-            from rich.panel import Panel
             from rich.progress import (BarColumn, Progress, TextColumn,
                                        TimeElapsedColumn)
 
@@ -154,15 +163,18 @@ class WorkflowProgress:
                 TextColumn("{task.completed}/{task.total}"),
                 TimeElapsedColumn(),
             )
-            self._panel = lambda: Panel(
-                Group(render_pipeline(self.pipeline), self._progress),
-                title=self.title,
-            )
-            self._live = Live(self._panel(), refresh_per_second=4)
+            self._panel = self._build_panel
+            self._live = Live(self._panel(), refresh_per_second=4,
+                              console=self._console)
             self._live.__enter__()
         return self
 
     def __exit__(self, *exc):
+        if exc and exc[0] is not None:
+            # mark the in-flight step failed so the final frame is honest
+            cur = self.pipeline.current
+            if cur is not None:
+                self.pipeline.finish(cur.name, "failed")
         if self._live is not None:
             self._live.update(self._panel())
             self._live.__exit__(*exc)
@@ -170,6 +182,8 @@ class WorkflowProgress:
     def _refresh(self):
         if self._live is not None:
             self._live.update(self._panel())
+
+    refresh = _refresh  # public: re-render after mutating header/extra
 
     def start_step(self, name: str, detail: str = ""):
         self.pipeline.start(name, detail)
