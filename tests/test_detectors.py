@@ -181,3 +181,85 @@ def test_rtdetr_conf_threshold_filters(tiny_rtdetr_dir):
     batch, meta = det.preprocess(img)
     out = det.postprocess(det.process(batch), meta)
     assert len(out) < 20  # random logits almost never reach 0.99
+
+
+# ---------------------------------------------------------------------------
+# Ultralytics adapter executed against a stubbed predictor (the package is
+# not installed here; the adapter contract itself is what's under test —
+# reference boxmot/detectors/ultralytics.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def fake_ultralytics(monkeypatch):
+    """Install a minimal `ultralytics` module: YOLO.predict returns one
+    Results-shaped object with .boxes.{xyxy,conf,cls}."""
+    import sys
+    import types
+
+    class _Boxes:
+        def __init__(self, xyxy, conf, cls):
+            self.xyxy, self.conf, self.cls = xyxy, conf, cls
+
+    class _Result:
+        def __init__(self, boxes):
+            self.boxes = boxes
+
+    class _YOLO:
+        def __init__(self, weights):
+            self.weights = weights
+            self.calls = []
+
+        def predict(self, img, conf=0.25, verbose=False):
+            self.calls.append({"shape": img.shape, "conf": conf})
+            boxes = np.array(
+                [[10, 20, 50, 90], [60, 30, 100, 110], [5, 5, 20, 20]],
+                np.float32,
+            )
+            confs = np.array([0.9, 0.6, 0.1], np.float32)
+            keep = confs >= conf
+            return [_Result(_Boxes(boxes[keep], confs[keep],
+                                   np.array([0.0, 1.0, 0.0], np.float32)[keep]))]
+
+    mod = types.ModuleType("ultralytics")
+    mod.YOLO = _YOLO
+    monkeypatch.setitem(sys.modules, "ultralytics", mod)
+    return mod
+
+
+class TestUltralyticsAdapter:
+    def test_three_stage_contract(self, fake_ultralytics):
+        from boxmot_tpu.detectors.registry import UltralyticsDetector, create_detector
+
+        det = create_detector("yolo11n.pt", conf=0.5)
+        assert isinstance(det, UltralyticsDetector)
+        img = np.zeros((120, 160, 3), np.uint8)
+        batch, meta = det.preprocess(img)
+        out = det.postprocess(det.process(batch), meta)
+        assert len(out) == 2  # conf 0.1 filtered by the predictor
+        assert out.xyxy.shape == (2, 4) and out.cls.tolist() == [0.0, 1.0]
+        assert det.model.calls[0]["conf"] == 0.5
+
+    def test_pipeline_feeds_tracker(self, fake_ultralytics):
+        from boxmot_tpu.detectors.registry import create_detector
+        from boxmot_tpu.engine.inference import DetectorReIDPipeline
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        pipe = DetectorReIDPipeline(create_detector("yolo26s.pt", conf=0.25))
+        trk = create_tracker("bytetrack:cpp")
+        img = np.zeros((120, 160, 3), np.uint8)
+        for _ in range(3):
+            dets, embs, _ = pipe(img)
+            out = np.asarray(trk.update(dets, img))
+        # predictor keeps conf {0.9, 0.6}; with the reference tier
+        # track_thresh=0.6 only the 0.9 det seeds (strict >) a track
+        assert dets.shape == (2, 6)
+        assert len(out) == 1 and out[0, 5] == pytest.approx(0.9)
+
+    def test_registry_falls_through_to_ultralytics(self, fake_ultralytics):
+        from boxmot_tpu.detectors.registry import (
+            UltralyticsDetector,
+            get_detector_class,
+        )
+
+        assert get_detector_class("anything_else.pt") is UltralyticsDetector
