@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from functools import partial
 
+from boxmot_tpu.ops.precision import tracker_jit
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -112,7 +114,7 @@ def pack_frames(dets_per_frame, D=None, F=None, det_cols: int = 6):
     return out, n_frames
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(tracker_jit, static_argnames=("cfg",))
 def scan_replay(cfg, state, dets_seq, embs_seq=None, warps_seq=None):
     """Replay one sequence on device.
 
@@ -139,7 +141,7 @@ def scan_replay(cfg, state, dets_seq, embs_seq=None, warps_seq=None):
     return state, outs, masks
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(tracker_jit, static_argnames=("cfg",))
 def batch_replay(cfg, states, dets_batch, embs_batch=None, warps_batch=None):
     """Replay S sequences in lockstep: dets_batch (S, F, D, 7)."""
     S, F, D = dets_batch.shape[0], dets_batch.shape[1], dets_batch.shape[2]

@@ -31,6 +31,8 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 
+from boxmot_tpu.ops.precision import tracker_jit
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -306,7 +308,7 @@ def boost_cost(cfg, det_box, trk_box, conf, trk_conf, md, iou_dk, valid_dk,
     return cost
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(tracker_jit, static_argnames=("cfg",))
 def boosttrack_step(cfg: BoostTrackConfig, state: BoostTrackState, dets, det_valid, embs, warp):
     layout = kalman.make_xyhr_layout()
     K, D = cfg.capacity, dets.shape[0]

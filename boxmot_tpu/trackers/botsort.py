@@ -30,6 +30,8 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 
+from boxmot_tpu.ops.precision import tracker_jit
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -195,7 +197,7 @@ def _vote_cls(cls_scores, cls_seen, cls_det, conf_det, apply_mask, nr_classes):
     return new_scores, new_seen, voted
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(tracker_jit, static_argnames=("cfg",))
 def botsort_step(cfg: BotSortConfig, state: BotSortState, dets, det_valid, embs, warp):
     """One frame.  dets: (D, 7); embs: (D, F) appearance of each det
     (only first-stage rows are used); warp: (2, 3) camera-motion affine.

@@ -30,6 +30,8 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 
+from boxmot_tpu.ops.precision import tracker_jit
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -101,7 +103,7 @@ def _scatter_det_flags(r2c, matched, n_dets):
     return jnp.zeros((n_dets,), bool).at[idx].set(True, mode="drop")
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(tracker_jit, static_argnames=("cfg",))
 def bytetrack_step(cfg: ByteTrackConfig, state: ByteTrackState, dets, det_valid):
     """One frame.  dets: (D, 7) [x1,y1,x2,y2,conf,cls,det_ind] padded;
     det_valid: (D,) — padding rows have conf = -1.

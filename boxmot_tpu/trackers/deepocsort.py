@@ -29,6 +29,8 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 
+from boxmot_tpu.ops.precision import tracker_jit
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -148,7 +150,7 @@ def _apply_affine(state_boxes, warp):
     return jnp.concatenate([p1, p2], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(tracker_jit, static_argnames=("cfg",))
 def deepocsort_step(cfg: DeepOcSortConfig, state: DeepOcSortState, dets, det_valid, embs, warp):
     layout = kalman.make_xysr_layout(
         q_xy_scaling=cfg.q_xy_scaling, q_s_scaling=cfg.q_s_scaling

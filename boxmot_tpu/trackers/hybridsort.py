@@ -27,6 +27,8 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 
+from boxmot_tpu.ops.precision import tracker_jit
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -168,7 +170,7 @@ def _corner_speed(k_obs, det_box, corner):
     return dy / norm, dx / norm  # (K, D)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(tracker_jit, static_argnames=("cfg",))
 def hybridsort_step(cfg: HybridSortConfig, state: HybridSortState, dets, det_valid, embs, warp):
     layout = kalman.make_xyscr_layout()
     K, D, R = cfg.capacity, dets.shape[0], cfg.delta_t

@@ -29,6 +29,8 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 
+from boxmot_tpu.ops.precision import tracker_jit
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -247,7 +249,7 @@ def _gated_lsa_max(sim, row_mask, col_mask):
     return jnp.where(ok, r2c, -1)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(tracker_jit, static_argnames=("cfg",))
 def occluboost_step(cfg: OccluBoostConfig, state: OccluBoostState, dets, det_valid, embs, warp):
     layout = kalman.make_xyhr_layout(obb=cfg.is_obb)
     K, D = cfg.capacity, dets.shape[0]

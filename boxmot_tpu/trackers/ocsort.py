@@ -29,6 +29,8 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 
+from boxmot_tpu.ops.precision import tracker_jit
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -149,7 +151,7 @@ def _speed_direction(from_boxes, to_boxes):
     return dy / norm, dx / norm
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(tracker_jit, static_argnames=("cfg",))
 def ocsort_step(cfg: OcSortConfig, state: OcSortState, dets, det_valid):
     """One frame.  dets padded: (D, 7) [x1,y1,x2,y2,conf,cls,det_ind], or
     (D, 8) [cx,cy,w,h,theta,conf,cls,det_ind] in OBB mode."""

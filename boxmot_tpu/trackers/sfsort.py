@@ -31,6 +31,8 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 
+from boxmot_tpu.ops.precision import tracker_jit
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -185,7 +187,7 @@ def iou_cost(trk, det):
     return 1.0 - inter / (a1[:, None] + a2[None, :] - inter + eps)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(tracker_jit, static_argnames=("cfg",))
 def sfsort_step(cfg: SFSortConfig, state: SFSortState, dets, det_valid):
     K = cfg.capacity
     D = dets.shape[0]

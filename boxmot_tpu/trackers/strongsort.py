@@ -29,6 +29,8 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 
+from boxmot_tpu.ops.precision import tracker_jit
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -105,7 +107,7 @@ def init_state(cfg: StrongSortConfig) -> StrongSortState:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(tracker_jit, static_argnames=("cfg",))
 def strongsort_step(cfg: StrongSortConfig, state: StrongSortState, dets, det_valid, embs, warp):
     layout = kalman.make_xyah_layout(
         nsa=True,
