@@ -78,10 +78,11 @@ def test_scan_replay_equals_host_loop():
 def test_run_eval_mot17_mini(tmp_path):
     res = run_eval(FIXTURE, "bytetrack", output_dir=tmp_path)
     c = res["combined"]
-    # Pipeline sanity on public FRCNN dets: metrics well-formed and nonzero.
-    assert 0.0 < c["HOTA"] < 1.0
-    assert -1.0 < c["MOTA"] <= 1.0
-    assert 0.0 < c["IDF1"] < 1.0
+    # Exact pins (deterministic pipeline; full per-tracker table in
+    # tests/test_pinned_metrics.py) — metric regressions fail loudly.
+    assert abs(c["HOTA"] - 0.649859) <= 1e-4, c
+    assert abs(c["MOTA"] - 0.495283) <= 1e-4, c
+    assert abs(c["IDF1"] - 0.662461) <= 1e-4, c
     assert (tmp_path / "MOT17-02-FRCNN.txt").exists()
     assert len(res["per_seq"]) == 2
 
