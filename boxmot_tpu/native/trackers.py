@@ -15,6 +15,7 @@ import ctypes
 import numpy as np
 
 from boxmot_tpu.native import get_library
+from boxmot_tpu.trackers.per_class_ids import GlobalIdAllocator
 from boxmot_tpu.trackers.track_results import TrackResults
 
 _BOUND = False
@@ -29,6 +30,8 @@ def _bind(lib):
     lib.bmt_tracker_destroy.argtypes = [ctypes.c_void_p]
     lib.bmt_tracker_reset.argtypes = [ctypes.c_void_p]
     lib.bmt_tracker_capacity.argtypes = [ctypes.c_void_p]
+    lib.bmt_tracker_next_track_id.restype = ctypes.c_int64
+    lib.bmt_tracker_next_track_id.argtypes = [ctypes.c_void_p]
     lib.bmt_tracker_out_cols.argtypes = [ctypes.c_void_p]
     lib.bmt_tracker_update.restype = ctypes.c_int64
     lib.bmt_tracker_update.argtypes = [
@@ -313,9 +316,11 @@ class NativeTracker:
         self.is_obb = False
         self.per_class = bool(per_class)
         # lazily created per-class handles (the device trackers'
-        # per-class split, trackers/base.py:191-236); ids get disjoint
-        # cls_id * 1_000_000 ranges exactly like the device states
+        # per-class split, trackers/base.py:191-236); class-bank ids are
+        # renumbered into the reference's shared-counter sequence by the
+        # same GlobalIdAllocator the device per-class path uses
         self._class_handles: dict[int, int] = {}
+        self._pc_ids = GlobalIdAllocator() if self.per_class else None
         self._layout_locked = False
 
     def _switch_to_obb(self):
@@ -369,9 +374,18 @@ class NativeTracker:
                     handle = self._create_handle()
                     self._class_handles[cls_id] = handle
                 cls_dets = dets[dets[:, cls_col] == cls_id] if len(dets) else dets
+                raw_base = cls_id * 1_000_000  # keys class-local raw ids
+                prev_next = self._lib.bmt_tracker_next_track_id(handle)
                 rows = self._update_handle(handle, cls_dets, img)
+                new_next = self._lib.bmt_tracker_next_track_id(handle)
+                self._pc_ids.observe_created(
+                    raw_base + prev_next, raw_base + new_next
+                )
                 if rows.shape[0]:
-                    rows[:, 5 if self.is_obb else 4] += cls_id * 1_000_000
+                    id_col = 5 if self.is_obb else 4
+                    rows[:, id_col] = self._pc_ids.remap(
+                        rows[:, id_col] + raw_base
+                    )
                     outputs.append(rows)
             self.frame_count += 1
             if outputs:
@@ -449,6 +463,8 @@ class NativeTracker:
         for handle in self._class_handles.values():
             self._lib.bmt_tracker_destroy(handle)
         self._class_handles = {}
+        if self._pc_ids is not None:
+            self._pc_ids.reset()
         self.frame_count = 0
 
     def __del__(self):

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from boxmot_tpu.trackers.per_class_ids import GlobalIdAllocator
 from boxmot_tpu.trackers.track_results import TrackResults
 
 _DET_BUCKETS = (16, 32, 64, 128, 256, 512)
@@ -97,6 +98,10 @@ class BaseTracker(VisualizationMixin):
         # Device state: one pytree, or one per class when per_class.
         self._state = None
         self._per_class_states = {} if per_class else None
+        # Reference-style global sequential ids across classes (the
+        # reference shares one creation counter over all classes —
+        # trackers/basetracker.py:228 + per-type track-class counters).
+        self._pc_ids = GlobalIdAllocator() if per_class else None
 
     # -- subclass contract --------------------------------------------
 
@@ -121,6 +126,7 @@ class BaseTracker(VisualizationMixin):
         self._state = None
         if self.per_class:
             self._per_class_states = {}
+            self._pc_ids = GlobalIdAllocator()
         self.frame_count = 0
 
     # -- internals -----------------------------------------------------
@@ -206,6 +212,10 @@ class BaseTracker(VisualizationMixin):
             return np.vstack(outputs)
         return np.empty((0, self.layout.output_cols), np.float32)
 
+    # Emitted ids differ from the internal ``next_id`` counter by a
+    # fixed offset per tracker (hybridsort emits tid + 1).
+    _id_emit_offset = 0
+
     def _run_class(self, cls_id, dets, embs):
         if cls_id is None:
             state = self._state if self._state is not None else self._init_state()
@@ -213,14 +223,19 @@ class BaseTracker(VisualizationMixin):
             state = self._per_class_states.get(cls_id)
             if state is None:
                 state = self._init_state()
-                # the reference's global id counter keeps ids unique across
-                # classes; per-class states get disjoint id ranges instead
+                # each class bank counts its own ids in a disjoint raw
+                # range; the GlobalIdAllocator below renumbers them to
+                # the reference's shared-counter sequence at emission
                 if hasattr(state, "next_id"):
                     import jax.numpy as jnp
 
                     state = state.replace(
                         next_id=state.next_id + cls_id * 1_000_000
                     )
+
+        track_ids = cls_id is not None and hasattr(state, "next_id")
+        if track_ids:
+            prev_next = int(state.next_id) + self._id_emit_offset
 
         padded, n = self._pad_dets(dets)
         import jax.numpy as jnp
@@ -238,4 +253,12 @@ class BaseTracker(VisualizationMixin):
 
         out_np = np.asarray(out)
         mask_np = np.asarray(out_mask)
-        return out_np[mask_np]
+        out_np = out_np[mask_np]
+        if track_ids:
+            new_next = int(state.next_id) + self._id_emit_offset
+            self._pc_ids.observe_created(prev_next, new_next)
+            if out_np.size:
+                id_col = self.layout.box_cols
+                out_np = out_np.copy()
+                out_np[:, id_col] = self._pc_ids.remap(out_np[:, id_col])
+        return out_np

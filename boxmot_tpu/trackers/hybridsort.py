@@ -535,6 +535,7 @@ class HybridSort(BaseTracker):
     """Host wrapper mirroring the reference constructor (hybridsort.py:365-443)."""
 
     supports_obb = False
+    _id_emit_offset = 1  # internal ids start at 0, emitted as tid + 1
 
     def __init__(
         self,

@@ -542,6 +542,8 @@ class BoostTrackCore {
     }
 
     int capacity() const { return cfg_.capacity; }
+    // id the next created track will carry in the output rows
+    int64_t next_track_id() const { return next_id_; }
 
   private:
     BoostTrackConfig cfg_;

@@ -331,6 +331,8 @@ class BotSortCore {
     }
 
     int capacity() const { return cfg_.capacity; }
+    // id the next created track will carry in the output rows
+    int64_t next_track_id() const { return next_id_; }
 
   private:
     // confidence-weighted class voting (botsort_track.py:69-83)

@@ -241,6 +241,8 @@ class ByteTrackCore {
     }
 
     int capacity() const { return cfg_.capacity; }
+    // id the next created track will carry in the output rows
+    int64_t next_track_id() const { return next_id_; }
 
   private:
     static void xyah_to_xyxy(const float* s, float* box) {
@@ -449,6 +451,8 @@ class ByteTrackObbCore {
     }
 
     int capacity() const { return cfg_.capacity; }
+    // id the next created track will carry in the output rows
+    int64_t next_track_id() const { return next_id_; }
     int out_cols() const { return 9; }
 
   private:

@@ -373,6 +373,8 @@ class DeepOcSortCore {
     }
 
     int capacity() const { return cfg_.capacity; }
+    // id the next created track will carry in the output rows
+    int64_t next_track_id() const { return next_id_; }
 
   private:
     // apply_affine_correction (xysr.py:312-336): rotate position and

@@ -377,6 +377,9 @@ class HybridSortCore {
     }
 
     int capacity() const { return cfg_.capacity; }
+    // id the next created track will carry in the output rows
+    // (internal ids start at 0, emitted as tid + 1)
+    int64_t next_track_id() const { return next_id_ + 1; }
 
   private:
     std::vector<int32_t> associate_pass1(const std::vector<float>& iou1,

@@ -328,6 +328,8 @@ class OccluBoostCore {
     }
 
     int capacity() const { return cfg_.boost.capacity; }
+    // id the next created track will carry in the output rows
+    int64_t next_track_id() const { return next_id_; }
 
   private:
     // KF + AMS + bookkeeping for one matched slot (apply_update in

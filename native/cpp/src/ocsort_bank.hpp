@@ -350,6 +350,8 @@ class OcSortCore {
     }
 
     int capacity() const { return cfg_.capacity; }
+    // id the next created track will carry in the output rows
+    int64_t next_track_id() const { return next_id_; }
 
   private:
     // pass-1 association with the unique-candidate shortcut
@@ -756,6 +758,8 @@ class OcSortObbCore {
     }
 
     int capacity() const { return cfg_.capacity; }
+    // id the next created track will carry in the output rows
+    int64_t next_track_id() const { return next_id_; }
     int out_cols() const { return 9; }
 
   private:

@@ -83,6 +83,8 @@ class Sam2MotCore {
     }
 
     int capacity() const { return cfg_.capacity; }
+    // id the next created track will carry in the output rows
+    int64_t next_track_id() const { return next_id_; }
 
     // dets (n, 6) in frame coords; masks nullable (n, mH, mW) uint8;
     // fH/fW: frame size (<=0 means the mask grid); out (capacity, 8);

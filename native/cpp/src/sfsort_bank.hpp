@@ -252,6 +252,8 @@ class SFSortCore {
     }
 
     int capacity() const { return cfg_.capacity; }
+    // id the next created track will carry in the output rows
+    int64_t next_track_id() const { return next_id_; }
 
   private:
     // BBSI cost replicating the reference math verbatim, including the
@@ -454,6 +456,8 @@ class SFSortObbCore {
     }
 
     int capacity() const { return cfg_.capacity; }
+    // id the next created track will carry in the output rows
+    int64_t next_track_id() const { return next_id_; }
     int out_cols() const { return 9; }
 
   private:

@@ -285,6 +285,8 @@ class StrongSortCore {
     }
 
     int capacity() const { return cfg_.capacity; }
+    // id the next created track will carry in the output rows
+    int64_t next_track_id() const { return next_id_; }
 
   private:
     // Mahalanobis distance of measurements to the projected state

@@ -66,6 +66,7 @@ struct TrackerHandle {
                                float* out, uint8_t* out_masks) = 0;
     virtual int capacity() const = 0;
     virtual int out_cols() const = 0;
+    virtual int64_t next_track_id() const = 0;
 };
 
 template <class Core>
@@ -96,6 +97,7 @@ struct HandleImpl final : TrackerHandle {
         }
     }
     int capacity() const override { return core.capacity(); }
+    int64_t next_track_id() const override { return core.next_track_id(); }
     int out_cols() const override {
         if constexpr (has_out_cols<Core>::value) {
             return core.out_cols();
@@ -236,6 +238,13 @@ int bmt_tracker_reset(void* h) {
 
 int bmt_tracker_capacity(void* h) {
     return h ? static_cast<TrackerHandle*>(h)->capacity() : -1;
+}
+
+// id the next created track will carry in the output rows; the host's
+// per-class GlobalIdAllocator reads deltas of this across a step to
+// renumber class-bank ids into the reference's shared-counter sequence
+int64_t bmt_tracker_next_track_id(void* h) {
+    return h ? static_cast<TrackerHandle*>(h)->next_track_id() : -1;
 }
 
 // output row width: 8 (AABB) or 9 (OBB: xywha + id/conf/cls/det_ind)

@@ -632,7 +632,7 @@ class TestParityVsDevice:
 
     def test_per_class_parity(self):
         """Per-class isolation on the cpp backend matches the device
-        trackers' class-split states and disjoint id ranges."""
+        trackers' class-split states and reference-style global ids."""
         from boxmot_tpu.trackers.zoo import create_tracker
 
         jax_trk = create_tracker("bytetrack", per_class=True)
@@ -654,12 +654,12 @@ class TestParityVsDevice:
             assert set(ids_j) == set(ids_c), f"frame {f}"
             for tid, rj in ids_j.items():
                 np.testing.assert_allclose(ids_c[tid][:4], rj[:4], atol=0.5)
-        # class-2 ids live in the 2_000_000 range, class-0 below 1_000_000
+        # reference semantics: one global creation counter across
+        # classes (basetracker.py:228) — ids are small and sequential
         ids = sorted(int(r[4]) for r in out_c)
-        assert ids[0] < 1_000_000 and ids[-1] >= 2_000_000
-        # classes preserved per row
-        for r in out_c:
-            assert (int(r[4]) // 1_000_000) == int(r[6])
+        assert ids == [1, 2, 3]
+        # classes preserved per row, ids NOT namespaced by class
+        assert sorted(int(r[6]) for r in out_c) == [0, 2, 2]
 
     def test_per_class_lost_tracks_age(self):
         """A class absent for a few frames still ages out its tracks."""
@@ -675,9 +675,9 @@ class TestParityVsDevice:
         trk.update(np.concatenate([d0, d1]), IMG)
         out = trk.update(np.concatenate([d0, d1]), IMG)
         ids = sorted(int(r[4]) for r in np.asarray(out))
-        # class-1 track died and was re-created with a fresh id
+        # class-1 track died and was re-created with a fresh global id
         assert len(ids) == 2
-        assert ids[0] < 1_000_000 and ids[1] > 1_000_001
+        assert ids == [1, 3]
 
     def test_boosttrack_reid_rejected(self):
         from boxmot_tpu.native.trackers import NativeTracker
