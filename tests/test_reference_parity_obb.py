@@ -1,0 +1,162 @@
+"""Differential OBB parity against the actual reference implementation.
+
+The reference's OBB path (``is_obb`` — trackers/basetracker.py:29,
+inferred from (N, 7) [cx,cy,w,h,angle,conf,cls] dets) is supported by
+ByteTrack, BotSort, OcSort, SFSORT and OccluBoost.  These tests run the
+repo trackers and the reference side by side on synthetic oriented
+scenes (rotation drift, translation, dropouts, crossings) and assert
+det-level output equality plus a global ID bijection — the OBB
+counterpart of tests/test_reference_parity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.refshim import reference_available
+from tests.test_reference_parity import IMG, _DummyReID, _pair, run_ref, run_repo
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference tree not present"
+)
+
+
+def compare_obb_tracks(ref_outs, repo_outs, tol_px=5e-2, tol_angle=1e-3,
+                       tol_conf=1e-3):
+    """(M, 9) rows: [cx,cy,w,h,angle,id,conf,cls,det_ind].  Same det_ind
+    sets per frame, boxes/angles within tol, one consistent ID bijection."""
+    assert len(ref_outs) == len(repo_outs)
+    fwd, rev = {}, {}
+    for f, (a, b) in enumerate(zip(ref_outs, repo_outs)):
+        a = np.asarray(a, np.float64).reshape(-1, 9)
+        b = np.asarray(b, np.float64).reshape(-1, 9)
+        da = {int(round(r[8])): r for r in a}
+        db = {int(round(r[8])): r for r in b}
+        assert set(da) == set(db), (
+            f"frame {f}: det_ind sets differ: ref={sorted(da)} repo={sorted(db)}"
+        )
+        for k in sorted(da):
+            ra, rb = da[k], db[k]
+            np.testing.assert_allclose(
+                rb[:4], ra[:4], atol=tol_px, rtol=0,
+                err_msg=f"frame {f} det_ind {k}: box mismatch",
+            )
+            # compare orientation on the unit circle (period robustness)
+            assert abs(np.sin(ra[4]) - np.sin(rb[4])) <= tol_angle and \
+                abs(np.cos(ra[4]) - np.cos(rb[4])) <= tol_angle, (
+                f"frame {f} det_ind {k}: angle {ra[4]} vs {rb[4]}"
+            )
+            assert abs(ra[6] - rb[6]) <= tol_conf
+            assert int(round(ra[7])) == int(round(rb[7]))
+            ia, ib = int(round(ra[5])), int(round(rb[5]))
+            if ia in fwd:
+                assert fwd[ia] == ib, f"frame {f}: ref id {ia} remapped"
+            if ib in rev:
+                assert rev[ib] == ia, f"frame {f}: repo id {ib} remapped"
+            fwd[ia] = ib
+            rev[ib] = ia
+    return fwd
+
+
+def obb_scene(n_obj=8, n_frames=300, drop_every=0, seed=3):
+    """Oriented boxes translating and slowly rotating across the frame,
+    with per-object sinusoidal confidence and optional periodic dropouts."""
+    rng = np.random.default_rng(seed)
+    pos = np.stack([rng.uniform(60, 580, n_obj), rng.uniform(60, 420, n_obj)], 1)
+    vel = rng.uniform(-2.0, 2.0, (n_obj, 2))
+    size = rng.uniform(25, 70, (n_obj, 2))
+    theta = rng.uniform(-1.2, 1.2, n_obj)
+    omega = rng.uniform(-0.02, 0.02, n_obj)
+    cls = rng.integers(0, 2, n_obj).astype(float)
+    frames = []
+    for f in range(n_frames):
+        dets = []
+        for i in range(n_obj):
+            if drop_every and (f + 7 * i) % drop_every < 3:
+                continue  # short occlusion windows, staggered per object
+            p = pos[i] + vel[i] * f
+            # reflect off the borders to stay in frame
+            cx = 60 + abs((p[0] - 60) % 1040 - 520)
+            cy = 60 + abs((p[1] - 60) % 720 - 360)
+            conf = 0.75 + 0.2 * np.sin(0.1 * f + i)
+            dets.append([
+                cx, cy, size[i, 0], size[i, 1],
+                theta[i] + omega[i] * f, conf, cls[i],
+            ])
+        frames.append(np.asarray(dets, np.float32).reshape(-1, 7))
+    return frames
+
+
+@pytest.fixture(scope="module")
+def scene_plain():
+    return obb_scene()
+
+
+@pytest.fixture(scope="module")
+def scene_dropout():
+    return obb_scene(drop_every=40, seed=9)
+
+
+MOTION_TRACKERS = ["ByteTrack", "OcSort", "SFSORT"]
+
+# The reference's OBB association costs ~1.5 s/frame (cv2
+# rotatedRectangleIntersection per pair), so the full 300-frame matrix
+# runs ~40 min.  The default suite keeps one short sentinel; everything
+# else is -m slow (the suite's convention, test_reference_parity.py:233).
+SLOW = pytest.mark.slow
+
+
+def test_obb_sentinel_bytetrack_short():
+    """Default-suite sentinel: ByteTrack on an 80-frame dropout scene."""
+    frames = obb_scene(n_frames=80, drop_every=30, seed=11)
+    ref, repo = _pair("ByteTrack")
+    compare_obb_tracks(run_ref(ref, frames), run_repo(repo, frames))
+
+
+@SLOW
+@pytest.mark.parametrize("name", MOTION_TRACKERS)
+def test_obb_motion_tracker_parity(name, scene_plain, scene_dropout):
+    for frames in (scene_plain, scene_dropout):
+        ref, repo = _pair(name)
+        compare_obb_tracks(run_ref(ref, frames), run_repo(repo, frames))
+
+
+@SLOW
+@pytest.mark.parametrize("with_reid", [False, True])
+def test_obb_botsort_parity(with_reid, scene_dropout):
+    kw = dict(with_reid=with_reid, use_cmc=False)
+    if with_reid:
+        kw["reid_model"] = _DummyReID()
+    ref, repo = _pair("BotSort", **kw)
+    embs = None
+    if with_reid:
+        embs = _obb_embs(scene_dropout)
+    compare_obb_tracks(
+        run_ref(ref, scene_dropout, embs=embs),
+        run_repo(repo, scene_dropout, embs=embs),
+    )
+
+
+@SLOW
+def test_obb_occluboost_parity(scene_dropout):
+    kw = dict(with_reid=True, reid_model=_DummyReID(), use_cmc=False)
+    ref, repo = _pair("OccluBoost", **kw)
+    embs = _obb_embs(scene_dropout)
+    compare_obb_tracks(
+        run_ref(ref, scene_dropout, embs=embs),
+        run_repo(repo, scene_dropout, embs=embs),
+    )
+
+
+def _obb_embs(frames, dim=512):
+    """Identity-like embeddings keyed on the (stable) box size."""
+    outs = []
+    for dets in frames:
+        e = np.zeros((len(dets), dim), np.float32)
+        for i, d in enumerate(dets):
+            rng = np.random.default_rng(int(d[2] * 13 + d[3] * 7) % 100003)
+            e[i] = rng.normal(0, 1, dim)
+        e /= np.linalg.norm(e, axis=1, keepdims=True) + 1e-12
+        outs.append(e)
+    return outs
