@@ -24,6 +24,15 @@ _LAZY = {
     "ByteTrack": "boxmot_tpu.trackers.bytetrack",
     "OcSort": "boxmot_tpu.trackers.ocsort",
     "BotSort": "boxmot_tpu.trackers.botsort",
+    # workflow result types (reference boxmot/__init__.py:14-27)
+    "ValidationResult": "boxmot_tpu.engine.results",
+    "GenerateResult": "boxmot_tpu.engine.results",
+    "TuneResult": "boxmot_tpu.engine.results",
+    "TuneTrialResult": "boxmot_tpu.engine.results",
+    "ExportResult": "boxmot_tpu.engine.results",
+    "TrackRunResult": "boxmot_tpu.engine.results",
+    "TrainResult": "boxmot_tpu.engine.results",
+    "ResearchResult": "boxmot_tpu.engine.results",
 }
 
 __all__ = sorted(_LAZY) + ["__version__"]

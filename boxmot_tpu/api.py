@@ -218,7 +218,15 @@ class Boxmot:
         trainer = ReIDTrainer(cfg)
         if resume:
             trainer.load_checkpoint(resume)
-        return trainer.fit()
+        history = trainer.fit()
+        from boxmot_tpu.engine.results import TrainResult
+
+        return TrainResult(
+            steps=trainer.step,
+            final_loss=history[-1]["loss"] if history else float("nan"),
+            weights_path=str(ckpt_dir),
+            history=list(history),
+        )
 
     def eval_reid(self, *, data, dataset: str = "market1501", rerank: bool = False):
         """CMC / mAP ranking evaluation (client.py .eval_reid role)."""

@@ -330,12 +330,14 @@ class SourceResearchRunner:
                 self.phase_callback("candidates", len(self.history), n_candidates)
         ok = [h for h in self.history if h["error"] is None]
         best = max(ok, key=lambda h: h["score"]) if ok else None
-        return {
-            "baseline": self.baseline,
-            "best": best,
-            "n_evaluated": len(self.history),
-            "n_failed": len(self.history) - len(ok),
-        }
+        from boxmot_tpu.engine.results import ResearchResult
+
+        return ResearchResult(
+            baseline=self.baseline,
+            best=best,
+            n_evaluated=len(self.history),
+            n_failed=len(self.history) - len(ok),
+        )
 
 
 def run_research(

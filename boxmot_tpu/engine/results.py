@@ -100,3 +100,84 @@ class TrackRunResult(WorkflowResult):
 
     def __len__(self):
         return len(self["results"])
+
+
+class TuneTrialResult(WorkflowResult):
+    """One tuning trial: params + metrics + score (reference
+    engine/workflows/results.py:232)."""
+
+    _fields = ("index", "score")
+
+    @property
+    def config(self) -> dict:
+        return self["params"]
+
+    @property
+    def ok(self) -> bool:
+        return self.get("error") is None
+
+    def summary(self) -> str:
+        m = self.get("metrics", {})
+        parts = [f"trial {self.get('index', '?')}",
+                 f"score {self.get('score', float('nan')):.4f}"]
+        if "HOTA" in m:
+            parts.append(f"HOTA {100 * m['HOTA']:.2f}")
+        if self.get("error"):
+            parts.append(f"error: {self['error']}")
+        return "  ".join(parts)
+
+
+class TrainResult(WorkflowResult):
+    """ReID training run: final metrics + checkpoint path + history
+    (reference reid/training/trainer.py:77)."""
+
+    _fields = ("steps", "final_loss", "weights_path")
+
+    @property
+    def history(self) -> list:
+        return self["history"]
+
+    def summary(self) -> str:
+        return (
+            f"{self.get('steps', 0)} steps  "
+            f"final loss {self.get('final_loss', float('nan')):.4f}  "
+            f"weights {self.get('weights_path')}"
+        )
+
+
+class ResearchResult(WorkflowResult):
+    """Research-loop run: baseline + best candidate + counts (reference
+    engine/research/models.py:118)."""
+
+    _fields = ("n_evaluated", "n_failed")
+
+    @property
+    def best(self):
+        return self.get("best")
+
+    @property
+    def baseline_summary(self) -> dict:
+        return (self.get("baseline") or {}).get("metrics", {})
+
+    @property
+    def best_summary(self) -> dict:
+        return (self.best or {}).get("metrics", {})
+
+    @property
+    def delta_summary(self) -> dict:
+        base, best = self.baseline_summary, self.best_summary
+        return {
+            k: float(best[k]) - float(base[k])
+            for k in best
+            if k in base and isinstance(best[k], (int, float))
+        }
+
+    def summary(self) -> str:
+        parts = [
+            f"{self.get('n_evaluated', 0)} candidates "
+            f"({self.get('n_failed', 0)} failed)"
+        ]
+        d = self.delta_summary
+        if "HOTA" in d:
+            parts.append(f"dHOTA {100 * d['HOTA']:+.2f}")
+        return "  ".join(parts)

@@ -108,6 +108,7 @@ class Tuner:
             metrics, score, error = {}, float("-inf"), str(exc)
         self.trials.append(
             {
+                "index": len(self.trials),
                 "params": params,
                 "metrics": metrics,
                 "score": score,
@@ -158,6 +159,12 @@ class Tuner:
         if not ok:
             raise RuntimeError("no successful trials")
         return TuneResult(max(ok, key=lambda t: t["score"]))
+
+    def trial_results(self) -> list:
+        """Typed per-trial results (reference TuneTrialResult surface)."""
+        from boxmot_tpu.engine.results import TuneTrialResult
+
+        return [TuneTrialResult(t) for t in self.trials]
 
 
 def run_tune(

@@ -87,11 +87,13 @@ class TestFacadeParity:
         captured = {}
 
         class FakeTrainer:
+            step = 0
+
             def __init__(self, cfg):
                 captured["model"] = cfg.model
 
             def fit(self):
-                return {"steps": 0}
+                return [{"step": 0, "loss": 0.0}]
 
         monkeypatch.setattr(
             "boxmot_tpu.reid.training.trainer.ReIDTrainer", FakeTrainer

@@ -162,3 +162,45 @@ class TestWorkflowResults:
 
         with pytest.raises(AttributeError):
             WorkflowResult({}).nope
+
+    def test_train_research_trial_results(self):
+        from boxmot_tpu.engine.results import (
+            ResearchResult,
+            TrainResult,
+            TuneTrialResult,
+        )
+
+        tr = TrainResult(
+            steps=100, final_loss=1.25, weights_path="ckpts",
+            history=[{"step": 50, "loss": 2.0}, {"step": 100, "loss": 1.25}],
+        )
+        assert tr.steps == 100 and tr.history[-1]["loss"] == 1.25
+        assert "100 steps" in tr.summary() and "1.2500" in tr.summary()
+
+        trial = TuneTrialResult(
+            index=3, params={"a": 1}, metrics={"HOTA": 0.61}, score=1.2,
+            error=None,
+        )
+        assert trial.ok and trial.config == {"a": 1}
+        assert "trial 3" in trial.summary() and "HOTA 61.00" in trial.summary()
+
+        rr = ResearchResult(
+            baseline={"metrics": {"HOTA": 0.60, "MOTA": 0.70}},
+            best={"metrics": {"HOTA": 0.63, "MOTA": 0.69}},
+            n_evaluated=5, n_failed=1,
+        )
+        assert abs(rr.delta_summary["HOTA"] - 0.03) < 1e-9
+        assert "5 candidates (1 failed)" in rr.summary()
+        assert "dHOTA +3.00" in rr.summary()
+
+    def test_result_types_importable_from_package_root(self):
+        """Reference surface parity: `from boxmot import TuneResult` etc.
+        (reference boxmot/__init__.py:14-27)."""
+        import boxmot_tpu
+
+        for name in (
+            "ValidationResult", "GenerateResult", "TuneResult",
+            "TuneTrialResult", "ExportResult", "TrackRunResult",
+            "TrainResult", "ResearchResult",
+        ):
+            assert isinstance(getattr(boxmot_tpu, name), type), name
