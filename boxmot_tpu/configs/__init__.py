@@ -102,6 +102,147 @@ def load_tuned_config(name: str) -> dict:
     return {**get_tracker_defaults(tracker), **overlay}
 
 
+TRAINING_RECIPES_DIR = Path(__file__).resolve().parent / "training"
+
+# recipe keys that configure torch/torchvision machinery with no TPU
+# equivalent, or eval-time behavior the repo handles elsewhere; listed so
+# resolution is loud about what it drops rather than silently permissive
+_RECIPE_IGNORED_KEYS = frozenset(
+    {
+        "flip_tta",  # eval-time TTA — evaluator concern, not TrainConfig
+        "preprocess",  # crop normalizer — export/runtime tier in this repo
+        "random_patch",  # torchreid RandomPatch — not implemented
+        "color_augmentation",  # AlexNet-style PCA jitter — not implemented
+        "eta_min",  # cosine floor is lr/1000 in make_schedule
+        "branch_loss_agg",  # LMBN multi-branch aggregation — single head here
+    }
+)
+
+# nested hparams-style recipe sections (the CSL-TinyViT recipes;
+# reference _flatten_training_recipe_values, configs/__init__.py:35-134)
+_RECIPE_SECTIONS = (
+    "run", "data", "model", "optimization", "losses",
+    "augmentation", "evaluation", "system", "derived",
+)
+
+# (section path) -> flat recipe key
+_NESTED_RECIPE_PATHS = {
+    ("run", "model_name"): "model",
+    ("run", "seed"): "seed",
+    ("data", "dataset"): "dataset",
+    ("data", "img_size"): "imgsz",
+    ("data", "batch_size"): "batch_size",
+    ("data", "sampler", "p"): "p_ids",
+    ("data", "sampler", "k"): "k_instances",
+    ("optimization", "epochs"): "epochs",
+    ("optimization", "lr"): "lr",
+    ("optimization", "weight_decay"): "weight_decay",
+    ("optimization", "scheduler", "warmup_epochs"): "warmup_epochs",
+    ("optimization", "ema_decay"): "ema_decay",
+    ("losses", "loss_type"): "loss",
+    ("losses", "label_smooth"): "label_smooth",
+    ("losses", "weights", "id_loss_weight"): "id_loss_weight",
+    ("losses", "weights", "metric_loss_weight"): "metric_loss_weight",
+    ("losses", "weights", "center_loss_weight"): "center_loss_weight",
+    ("losses", "triplet", "margin"): "margin",
+    ("losses", "triplet", "soft_margin"): "soft_margin",
+    ("augmentation", "color_jitter"): "color_jitter",
+    ("augmentation", "gaussian_blur"): "gaussian_blur",
+    ("augmentation", "random_grayscale"): "random_grayscale",
+    ("augmentation", "random_erasing"): "random_erasing",
+    ("evaluation", "eval_interval"): "eval_interval",
+}
+
+
+def _flatten_nested_recipe(values: dict) -> dict:
+    """Nested hparams recipe -> flat recipe vocabulary.  Architecture
+    hyperparameters (model.head/attention/...) are baked into the named
+    backbone variant here, so only train-arg paths are lifted."""
+    out: dict = {}
+    for path, key in _NESTED_RECIPE_PATHS.items():
+        node = values
+        for part in path:
+            if not isinstance(node, dict) or part not in node:
+                node = None
+                break
+            node = node[part]
+        if node is not None:
+            out[key] = node
+    return out
+
+
+def list_training_recipes() -> tuple[str, ...]:
+    """Names of the shipped training recipes (reference
+    configs/__init__.py:151-153 list_training_recipes)."""
+    return tuple(sorted(p.stem for p in TRAINING_RECIPES_DIR.glob("*.yaml")))
+
+
+def load_training_recipe(name: str) -> dict:
+    """Raw recipe values by name (reference load_training_recipe,
+    configs/__init__.py:137-148)."""
+    path = TRAINING_RECIPES_DIR / f"{name}.yaml"
+    if not path.exists():
+        raise ValueError(
+            f"unknown training recipe {name!r}; available: "
+            f"{', '.join(list_training_recipes()) or '(none)'}"
+        )
+    with open(path) as f:
+        values = yaml.safe_load(f) or {}
+    # a flat recipe may legitimately contain a key that shares a section
+    # name ("model: lmbn_n"); only dict-valued sections mark nesting
+    if any(isinstance(values.get(s), dict) for s in _RECIPE_SECTIONS):
+        values = _flatten_nested_recipe(values)
+    return values
+
+
+def train_config_kwargs_from_recipe(values: dict) -> dict:
+    """Map reference recipe vocabulary onto TrainConfig field names.
+
+    The reference trainer consumes recipes as flat train-arg dicts
+    (configs/__init__.py:35-56); this repo's TrainConfig is step-based
+    and jax-shaped, so keys are renamed (lr -> base_lr, margin ->
+    triplet_margin, imgsz -> crop_hw, p_ids/k_instances -> p/k) and
+    epoch counts pass through for the trainer to resolve against the
+    dataset size.  Unknown keys raise; known-but-inapplicable keys
+    (flip_tta, preprocess, ...) are dropped.
+    """
+    rename = {
+        "lr": "base_lr",
+        "margin": "triplet_margin",
+        "p_ids": "p",
+        "k_instances": "k",
+        "id_loss_weight": "ce_weight",
+        "metric_loss_weight": "triplet_weight",
+    }
+    passthrough = {
+        "model", "dataset", "loss", "soft_margin", "epochs", "warmup_epochs",
+        "weight_decay", "label_smooth", "center_loss_weight", "ema_decay",
+        "random_erasing", "color_jitter", "gaussian_blur", "random_grayscale",
+        "eval_interval", "seed", "steps", "warmup_steps",
+    }
+    out: dict = {}
+    batch_size = None
+    for key, val in values.items():
+        if key in _RECIPE_IGNORED_KEYS:
+            continue
+        if key == "imgsz":
+            out["crop_hw"] = tuple(val)
+        elif key == "batch_size":
+            batch_size = int(val)
+        elif key in rename:
+            out[rename[key]] = val
+        elif key in passthrough:
+            out[key] = val
+        else:
+            raise ValueError(f"unknown training-recipe key {key!r}")
+    if batch_size is not None and "p" not in out:
+        # recipes may give a flat batch size; keep K and derive P
+        k = int(out.get("k", 4))
+        out.setdefault("k", k)
+        out["p"] = max(1, batch_size // k)
+    return out
+
+
 _MODES_PATH = Path(__file__).resolve().parent / "modes.yaml"
 _MODES_CACHE: dict | None = None
 

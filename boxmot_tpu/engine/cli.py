@@ -454,6 +454,9 @@ def tune(data, tracker, n_trials, work_dir, seed, backend):
 
 @cli.command()
 @click.option("--data", required=True, type=click.Path(exists=True), help="reid dataset root")
+@click.option("--recipe", default=None,
+              help="training recipe name from configs/training/ (reference "
+                   "`train --recipe`); explicit flags override recipe values")
 @click.option("--model", default="osnet_x0_25", show_default=True)
 @click.option("--dataset", default="market1501", show_default=True)
 @click.option("--steps", type=int, default=1000, show_default=True)
@@ -462,14 +465,40 @@ def tune(data, tracker, n_trials, work_dir, seed, backend):
 @click.option("--k", type=int, default=4, help="instances per identity")
 @click.option("--ckpt-dir", type=click.Path(), default="reid_ckpts")
 @click.option("--resume", type=click.Path(exists=True), default=None)
-def train(data, model, dataset, steps, lr, p, k, ckpt_dir, resume):
-    """Train a ReID backbone (CE label-smooth + batch-hard triplet)."""
+@click.pass_context
+def train(ctx, data, recipe, model, dataset, steps, lr, p, k, ckpt_dir, resume):
+    """Train a ReID backbone (CE label-smooth + metric loss)."""
     from boxmot_tpu.reid.training.trainer import ReIDTrainer, TrainConfig
 
-    cfg = TrainConfig(
-        model=model, dataset=dataset, data_root=data, steps=steps,
-        base_lr=lr, p=p, k=k, ckpt_dir=ckpt_dir,
-    )
+    kwargs = dict(data_root=data, ckpt_dir=ckpt_dir)
+    if recipe:
+        from boxmot_tpu.configs import (
+            load_training_recipe,
+            train_config_kwargs_from_recipe,
+        )
+
+        kwargs.update(train_config_kwargs_from_recipe(load_training_recipe(recipe)))
+        # a recipe supplies its own schedule; drop the CLI steps default
+        kwargs.pop("steps", None)
+    explicit = {
+        name: val
+        for name, val in [("model", model), ("dataset", dataset),
+                          ("steps", steps), ("base_lr", lr), ("p", p), ("k", k)]
+        if ctx.get_parameter_source(
+            {"base_lr": "lr"}.get(name, name)
+        ).name == "COMMANDLINE"
+    }
+    kwargs.update(explicit)
+    if "steps" in explicit:
+        kwargs["epochs"] = 0  # explicit --steps beats a recipe's epoch count
+    if not recipe:
+        kwargs.setdefault("model", model)
+        kwargs.setdefault("dataset", dataset)
+        kwargs.setdefault("steps", steps)
+        kwargs.setdefault("base_lr", lr)
+        kwargs.setdefault("p", p)
+        kwargs.setdefault("k", k)
+    cfg = TrainConfig(**kwargs)
     trainer = ReIDTrainer(cfg)
     if resume:
         trainer.load_checkpoint(resume)

@@ -177,8 +177,16 @@ def load_image(path: Path, hw=(256, 128)) -> np.ndarray:
 
 
 def augment(img: np.ndarray, rng: np.random.Generator, pad: int = 10,
-            flip_p: float = 0.5, erase_p: float = 0.5) -> np.ndarray:
-    """Standard ReID train transforms: pad+crop, flip, random erasing."""
+            flip_p: float = 0.5, erase_p: float = 0.5,
+            color_jitter: bool = False, gaussian_blur: bool = False,
+            grayscale_p: float = 0.0) -> np.ndarray:
+    """ReID train transforms: pad+crop, flip, photometric jitter
+    (brightness/contrast/saturation), blur, grayscale, random erasing.
+
+    The photometric knobs mirror the reference training-recipe options
+    (boxmot/configs/training/*.yaml: color_jitter / gaussian_blur /
+    random_grayscale) applied by its torchvision transform stack.
+    """
     h, w = img.shape[:2]
     padded = np.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="constant")
     oy = rng.integers(0, 2 * pad + 1)
@@ -186,6 +194,25 @@ def augment(img: np.ndarray, rng: np.random.Generator, pad: int = 10,
     img = padded[oy : oy + h, ox : ox + w]
     if rng.uniform() < flip_p:
         img = img[:, ::-1]
+    if color_jitter and rng.uniform() < 0.8:
+        img = img.astype(np.float32)
+        img = img * rng.uniform(0.8, 1.2)                      # brightness
+        mean = img.mean()
+        img = (img - mean) * rng.uniform(0.8, 1.2) + mean      # contrast
+        luma = img @ np.asarray([0.299, 0.587, 0.114], np.float32)
+        sat = rng.uniform(0.8, 1.2)                            # saturation
+        img = luma[..., None] + (img - luma[..., None]) * sat
+        img = np.clip(img, 0.0, 1.0)
+    if gaussian_blur and rng.uniform() < 0.5:
+        # separable 3-tap binomial kernel, edge-padded
+        k = np.asarray([0.25, 0.5, 0.25], np.float32)
+        p = np.pad(img, ((1, 1), (0, 0), (0, 0)), mode="edge")
+        img = p[:-2] * k[0] + p[1:-1] * k[1] + p[2:] * k[2]
+        p = np.pad(img, ((0, 0), (1, 1), (0, 0)), mode="edge")
+        img = p[:, :-2] * k[0] + p[:, 1:-1] * k[1] + p[:, 2:] * k[2]
+    if grayscale_p > 0.0 and rng.uniform() < grayscale_p:
+        luma = img @ np.asarray([0.299, 0.587, 0.114], np.float32)
+        img = np.repeat(luma[..., None], 3, axis=2)
     if rng.uniform() < erase_p:
         area = h * w
         for _ in range(10):
@@ -234,13 +261,13 @@ class PKSampler:
         return idxs
 
 
-def make_batch(items, idxs, hw=(256, 128), rng=None, train=True):
+def make_batch(items, idxs, hw=(256, 128), rng=None, train=True, aug_kwargs=None):
     imgs, pids = [], []
     for i in idxs:
         path, pid, _ = items[i]
         img = load_image(path, hw)
         if train and rng is not None:
-            img = augment(img, rng)
+            img = augment(img, rng, **(aug_kwargs or {}))
         imgs.append(img)
         pids.append(pid)
     return standardize(np.stack(imgs)), np.asarray(pids, np.int32)

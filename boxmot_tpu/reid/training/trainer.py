@@ -23,9 +23,12 @@ import numpy as np
 import optax
 from flax import linen as nn
 
-from boxmot_tpu.models.osnet import build_osnet
 from boxmot_tpu.reid.datasets import PKSampler, load_dataset, make_batch
 from boxmot_tpu.reid.training import losses as L
+
+# metric-loss vocabulary: reference recipe names on the left
+# (boxmot/configs/training/*.yaml `loss:` key), canonical names accepted too
+METRIC_LOSSES = ("triplet", "ms", "multi_similarity", "circle")
 
 
 @dataclasses.dataclass
@@ -38,13 +41,26 @@ class TrainConfig:
     k: int = 4  # instances per identity
     steps: int = 1000
     warmup_steps: int = 100
+    # epoch-based alternative: when epochs > 0, steps/warmup_steps are
+    # derived from the dataset size at trainer construction (the
+    # reference trainer is epoch-based; recipes speak epochs)
+    epochs: int = 0
+    warmup_epochs: int = 0
     base_lr: float = 3.5e-4
     weight_decay: float = 5e-4
+    loss: str = "triplet"  # metric loss: triplet | ms | circle
+    soft_margin: bool = False
     triplet_margin: float = 0.3
     triplet_weight: float = 1.0
     ce_weight: float = 1.0
     label_smooth: float = 0.1
+    center_loss_weight: float = 0.0
     ema_decay: float = 0.999
+    # train-time augmentation (reference recipe vocabulary)
+    random_erasing: float = 0.5
+    color_jitter: bool = False
+    gaussian_blur: bool = False
+    random_grayscale: float = 0.0
     eval_interval: int = 0  # 0 = only at end
     seed: int = 0
     ckpt_dir: str = ""
@@ -53,17 +69,43 @@ class TrainConfig:
     # norm statistics reduce globally across shards under SPMD)
     n_devices: int = 0
 
+    def aug_kwargs(self) -> dict:
+        return {
+            "erase_p": self.random_erasing,
+            "color_jitter": self.color_jitter,
+            "gaussian_blur": self.gaussian_blur,
+            "grayscale_p": self.random_grayscale,
+        }
+
+
+def _build_backbone(name: str) -> nn.Module:
+    """Any MODEL_FACTORY backbone is trainable (the reference trainer
+    accepts every factory entry, reid/training/trainer.py:634)."""
+    from boxmot_tpu.reid.core import MODEL_FACTORY
+
+    if name not in MODEL_FACTORY:
+        raise ValueError(
+            f"unknown ReID model {name!r}; available: {sorted(MODEL_FACTORY)}"
+        )
+    return MODEL_FACTORY[name]()
+
 
 class ReIDClassifier(nn.Module):
-    """Backbone + identity classifier for training."""
+    """Backbone + identity classifier (+ optional center-loss head)."""
 
     backbone: nn.Module
     num_classes: int
+    center: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, targets=None, train: bool = False):
         feats = self.backbone(x, train=train)
         logits = nn.Dense(self.num_classes, name="classifier")(feats)
+        if self.center:
+            center = L.CenterHead(
+                self.num_classes, feats.shape[-1], name="center"
+            )(feats, jnp.zeros((feats.shape[0],), jnp.int32) if targets is None else targets)
+            return feats, logits, center
         return feats, logits
 
 
@@ -79,11 +121,27 @@ def make_schedule(cfg: TrainConfig):
 
 class ReIDTrainer:
     def __init__(self, cfg: TrainConfig):
-        self.cfg = cfg
+        if cfg.loss not in METRIC_LOSSES:
+            raise ValueError(
+                f"unknown metric loss {cfg.loss!r}; supported: {METRIC_LOSSES}"
+            )
         self.dataset = load_dataset(cfg.dataset, cfg.data_root)
         self.num_classes = self.dataset.num_train_pids
+        if cfg.epochs > 0:
+            # reference semantics: one epoch visits every training image
+            # once at batch = P*K (reid/training/trainer.py:1072)
+            batch = min(cfg.p, self.num_classes) * cfg.k
+            spe = max(1, len(self.dataset.train) // batch)
+            cfg = dataclasses.replace(
+                cfg,
+                steps=cfg.epochs * spe,
+                warmup_steps=cfg.warmup_epochs * spe,
+            )
+        self.cfg = cfg
         self.model = ReIDClassifier(
-            backbone=build_osnet(cfg.model), num_classes=self.num_classes
+            backbone=_build_backbone(cfg.model),
+            num_classes=self.num_classes,
+            center=cfg.center_loss_weight > 0,
         )
         self.sampler = PKSampler(self.dataset.train, cfg.p, cfg.k, seed=cfg.seed)
         self.schedule = make_schedule(cfg)
@@ -137,18 +195,33 @@ class ReIDTrainer:
         @jax.jit
         def train_step(params, batch_stats, opt_state, ema, images, labels):
             def loss_fn(p):
-                (feats, logits), mutated = model.apply(
+                out, mutated = model.apply(
                     {"params": p, "batch_stats": batch_stats},
                     images,
+                    targets=labels,
                     train=True,
                     mutable=["batch_stats"],
                 )
+                feats, logits = out[0], out[1]
                 ce = L.cross_entropy_label_smooth(
                     logits, labels, cfg_static.label_smooth
                 )
-                tri = L.triplet_loss(feats, labels, cfg_static.triplet_margin)
+                if cfg_static.loss in ("ms", "multi_similarity"):
+                    tri = L.multi_similarity_loss(feats, labels)
+                elif cfg_static.loss == "circle":
+                    tri = L.circle_loss(feats, labels)
+                else:
+                    tri = L.triplet_loss(
+                        feats,
+                        labels,
+                        cfg_static.triplet_margin,
+                        soft_margin=cfg_static.soft_margin,
+                    )
                 loss = cfg_static.ce_weight * ce + cfg_static.triplet_weight * tri
-                return loss, (mutated["batch_stats"], ce, tri)
+                if cfg_static.center_loss_weight > 0:
+                    loss = loss + cfg_static.center_loss_weight * out[2]
+                # norm-only backbones (ViT/LMBN) carry no batch_stats
+                return loss, (dict(mutated).get("batch_stats", {}), ce, tri)
 
             (loss, (new_stats, ce, tri)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -206,7 +279,8 @@ class ReIDTrainer:
         self.sampler.rng = rng
         idxs = self.sampler.sample_batch()
         return make_batch(
-            self.dataset.train, idxs, self.cfg.crop_hw, rng=rng, train=True
+            self.dataset.train, idxs, self.cfg.crop_hw, rng=rng, train=True,
+            aug_kwargs=self.cfg.aug_kwargs(),
         )
 
     def fit(self, steps: int | None = None, log_every: int = 50, verbose: bool = False):
