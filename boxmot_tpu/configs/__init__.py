@@ -135,17 +135,31 @@ _NESTED_RECIPE_PATHS = {
     ("data", "sampler", "p"): "p_ids",
     ("data", "sampler", "k"): "k_instances",
     ("optimization", "epochs"): "epochs",
+    ("optimization", "optimizer"): "optimizer",
     ("optimization", "lr"): "lr",
     ("optimization", "weight_decay"): "weight_decay",
+    ("optimization", "grad_clip"): "grad_clip",
+    ("optimization", "layer_decay"): "layer_decay",
+    ("optimization", "vit_lr_profile"): "vit_lr_profile",
+    ("optimization", "backbone_freeze_epochs"): "backbone_freeze_epochs",
     ("optimization", "scheduler", "warmup_epochs"): "warmup_epochs",
     ("optimization", "ema_decay"): "ema_decay",
+    ("model", "head", "warmup_epochs"): "head_warmup_epochs",
+    ("model", "head", "warmup_lr_mult"): "head_warmup_lr_mult",
     ("losses", "loss_type"): "loss",
+    ("losses", "classifier_loss"): "classifier_loss",
     ("losses", "label_smooth"): "label_smooth",
     ("losses", "weights", "id_loss_weight"): "id_loss_weight",
     ("losses", "weights", "metric_loss_weight"): "metric_loss_weight",
     ("losses", "weights", "center_loss_weight"): "center_loss_weight",
+    ("losses", "weights", "aux_ce_weight"): "aux_ce_weight",
+    ("losses", "aux_ce_drop_epoch"): "aux_ce_drop_epoch",
     ("losses", "triplet", "margin"): "margin",
     ("losses", "triplet", "soft_margin"): "soft_margin",
+    ("losses", "arcface", "scale"): "arcface_scale",
+    ("losses", "arcface", "margin"): "arcface_margin",
+    ("losses", "cosface", "scale"): "cosface_scale",
+    ("losses", "cosface", "margin"): "cosface_margin",
     ("augmentation", "color_jitter"): "color_jitter",
     ("augmentation", "gaussian_blur"): "gaussian_blur",
     ("augmentation", "random_grayscale"): "random_grayscale",
@@ -219,6 +233,10 @@ def train_config_kwargs_from_recipe(values: dict) -> dict:
         "weight_decay", "label_smooth", "center_loss_weight", "ema_decay",
         "random_erasing", "color_jitter", "gaussian_blur", "random_grayscale",
         "eval_interval", "seed", "steps", "warmup_steps",
+        "grad_clip", "layer_decay", "vit_lr_profile", "center_lr",
+        "head_warmup_epochs", "head_warmup_lr_mult", "backbone_freeze_epochs",
+        "classifier_loss", "aux_ce_weight", "aux_ce_drop_epoch",
+        "arcface_scale", "arcface_margin", "cosface_scale", "cosface_margin",
     }
     out: dict = {}
     batch_size = None
@@ -227,6 +245,8 @@ def train_config_kwargs_from_recipe(values: dict) -> dict:
             continue
         if key == "imgsz":
             out["crop_hw"] = tuple(val)
+        elif key == "optimizer":
+            out["optimizer"] = str(val).lower()  # reference spells "AdamW"
         elif key == "batch_size":
             batch_size = int(val)
         elif key in rename:

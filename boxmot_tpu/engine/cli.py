@@ -463,11 +463,20 @@ def tune(data, tracker, n_trials, work_dir, seed, backend):
 @click.option("--lr", type=float, default=3.5e-4)
 @click.option("--p", type=int, default=16, help="identities per batch")
 @click.option("--k", type=int, default=4, help="instances per identity")
+@click.option("--loss", default="triplet", show_default=True,
+              type=click.Choice(["softmax", "triplet", "circle", "ms"],
+                                case_sensitive=False),
+              help="metric loss (softmax = identity loss only)")
+@click.option("--classifier-loss", default="ce", show_default=True,
+              type=click.Choice(["ce", "arcface", "cosface"],
+                                case_sensitive=False),
+              help="identity classifier (reference --classifier-loss)")
 @click.option("--ckpt-dir", type=click.Path(), default="reid_ckpts")
 @click.option("--resume", type=click.Path(exists=True), default=None)
 @click.pass_context
-def train(ctx, data, recipe, model, dataset, steps, lr, p, k, ckpt_dir, resume):
-    """Train a ReID backbone (CE label-smooth + metric loss)."""
+def train(ctx, data, recipe, model, dataset, steps, lr, p, k, loss,
+          classifier_loss, ckpt_dir, resume):
+    """Train a ReID backbone (identity loss + metric loss)."""
     from boxmot_tpu.reid.training.trainer import ReIDTrainer, TrainConfig
 
     kwargs = dict(data_root=data, ckpt_dir=ckpt_dir)
@@ -480,24 +489,23 @@ def train(ctx, data, recipe, model, dataset, steps, lr, p, k, ckpt_dir, resume):
         kwargs.update(train_config_kwargs_from_recipe(load_training_recipe(recipe)))
         # a recipe supplies its own schedule; drop the CLI steps default
         kwargs.pop("steps", None)
+    cli_params = [
+        ("model", model), ("dataset", dataset), ("steps", steps),
+        ("base_lr", lr), ("p", p), ("k", k), ("loss", loss.lower()),
+        ("classifier_loss", classifier_loss.lower()),
+    ]
+    flag_of = {"base_lr": "lr"}
     explicit = {
         name: val
-        for name, val in [("model", model), ("dataset", dataset),
-                          ("steps", steps), ("base_lr", lr), ("p", p), ("k", k)]
-        if ctx.get_parameter_source(
-            {"base_lr": "lr"}.get(name, name)
-        ).name == "COMMANDLINE"
+        for name, val in cli_params
+        if ctx.get_parameter_source(flag_of.get(name, name)).name == "COMMANDLINE"
     }
     kwargs.update(explicit)
     if "steps" in explicit:
         kwargs["epochs"] = 0  # explicit --steps beats a recipe's epoch count
     if not recipe:
-        kwargs.setdefault("model", model)
-        kwargs.setdefault("dataset", dataset)
-        kwargs.setdefault("steps", steps)
-        kwargs.setdefault("base_lr", lr)
-        kwargs.setdefault("p", p)
-        kwargs.setdefault("k", k)
+        for name, val in cli_params:
+            kwargs.setdefault(name, val)
     cfg = TrainConfig(**kwargs)
     trainer = ReIDTrainer(cfg)
     if resume:

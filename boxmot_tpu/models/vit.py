@@ -211,6 +211,15 @@ class ViTTinyParts(ViTNano):
     def feature_dim(self) -> int:
         return (1 + self.num_parts) * (self.feat_dim or self.embed_dim)
 
+    @property
+    def part_dims(self) -> tuple:
+        """Segment widths of the concatenated feature: global first,
+        then each part stripe.  Consumed by the trainer's multi-logit
+        part heads (reference's list-of-logits contract,
+        boxmot/reid/training/trainer.py:1788-1797)."""
+        fd = self.feat_dim or self.embed_dim
+        return (fd,) * (1 + self.num_parts)
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         feat, (tokens, gh, gw) = self._features(x, train)
