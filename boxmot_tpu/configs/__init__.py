@@ -109,7 +109,6 @@ TRAINING_RECIPES_DIR = Path(__file__).resolve().parent / "training"
 # resolution is loud about what it drops rather than silently permissive
 _RECIPE_IGNORED_KEYS = frozenset(
     {
-        "flip_tta",  # eval-time TTA — evaluator concern, not TrainConfig
         "preprocess",  # crop normalizer — export/runtime tier in this repo
         "random_patch",  # torchreid RandomPatch — not implemented
         "color_augmentation",  # AlexNet-style PCA jitter — not implemented
@@ -165,6 +164,7 @@ _NESTED_RECIPE_PATHS = {
     ("augmentation", "random_grayscale"): "random_grayscale",
     ("augmentation", "random_erasing"): "random_erasing",
     ("evaluation", "eval_interval"): "eval_interval",
+    ("evaluation", "flip_tta"): "flip_tta",
 }
 
 
@@ -237,6 +237,7 @@ def train_config_kwargs_from_recipe(values: dict) -> dict:
         "head_warmup_epochs", "head_warmup_lr_mult", "backbone_freeze_epochs",
         "classifier_loss", "aux_ce_weight", "aux_ce_drop_epoch",
         "arcface_scale", "arcface_margin", "cosface_scale", "cosface_margin",
+        "flip_tta",
     }
     out: dict = {}
     batch_size = None

@@ -511,6 +511,11 @@ def train(ctx, data, recipe, model, dataset, steps, lr, p, k, loss,
     if resume:
         trainer.load_checkpoint(resume)
     trainer.fit(verbose=True)
+    res = trainer.evaluate()
+    click.echo(
+        f"rank-1 {100 * res['rank1']:.2f}  rank-5 {100 * res['rank5']:.2f}  "
+        f"mAP {100 * res['mAP']:.2f}"
+    )
     click.echo(f"checkpoints in {ckpt_dir}")
 
 
@@ -682,7 +687,10 @@ def export(weights, model, include, out_dir, imgsz, int8, do_verify):
 @click.option("--weights", type=click.Path(exists=True), default=None,
               help="torchreid .pt checkpoint (converted on load)")
 @click.option("--rerank", is_flag=True, default=False)
-def eval_reid(data, model, dataset, weights, rerank):
+@click.option("--flip-tta/--no-flip-tta", default=False, show_default=True,
+              help="average original + horizontally-flipped features "
+                   "(reference --flip-tta)")
+def eval_reid(data, model, dataset, weights, rerank, flip_tta):
     """CMC / mAP ranking evaluation on a ReID dataset."""
     import jax
     import jax.numpy as jnp
@@ -699,7 +707,7 @@ def eval_reid(data, model, dataset, weights, rerank):
         variables = convert_osnet(weights)
     else:
         variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 128, 3)))
-    res = evaluate_reid(net, variables, ds, rerank=rerank)
+    res = evaluate_reid(net, variables, ds, rerank=rerank, flip_tta=flip_tta)
     click.echo(
         f"rank-1 {100 * res['rank1']:.2f}  rank-5 {100 * res['rank5']:.2f}  "
         f"mAP {100 * res['mAP']:.2f}"

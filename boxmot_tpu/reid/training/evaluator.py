@@ -117,8 +117,15 @@ def re_ranking(distmat_qg, distmat_qq, distmat_gg, k1=20, k2=6, lambda_value=0.3
     return final[:, nq:]
 
 
-def extract_features(model, variables, items, hw=(256, 128), batch_size=32):
-    """Run the backbone over dataset items -> (feats, pids, camids)."""
+def extract_features(model, variables, items, hw=(256, 128), batch_size=32,
+                     flip_tta: bool = False):
+    """Run the backbone over dataset items -> (feats, pids, camids).
+
+    ``flip_tta`` averages the original and horizontally-flipped
+    features (standard ReID test-time augmentation; reference
+    reid/training/evaluator.py:19-40).  Both passes live in one jitted
+    program so XLA batches them as a single fused forward pair.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -126,7 +133,10 @@ def extract_features(model, variables, items, hw=(256, 128), batch_size=32):
 
     @jax.jit
     def fwd(v, x):
-        return model.apply(v, x, train=False)
+        out = model.apply(v, x, train=False)
+        if flip_tta:
+            out = (out + model.apply(v, x[:, :, ::-1], train=False)) / 2.0
+        return out
 
     feats, pids, camids = [], [], []
     for i in range(0, len(items), batch_size):
@@ -142,9 +152,14 @@ def extract_features(model, variables, items, hw=(256, 128), batch_size=32):
     return np.concatenate(feats), np.asarray(pids), np.asarray(camids)
 
 
-def evaluate_reid(model, variables, dataset, hw=(256, 128), rerank: bool = False):
-    qf, q_pids, q_cams = extract_features(model, variables, dataset.query, hw)
-    gf, g_pids, g_cams = extract_features(model, variables, dataset.gallery, hw)
+def evaluate_reid(model, variables, dataset, hw=(256, 128), rerank: bool = False,
+                  flip_tta: bool = False):
+    qf, q_pids, q_cams = extract_features(
+        model, variables, dataset.query, hw, flip_tta=flip_tta
+    )
+    gf, g_pids, g_cams = extract_features(
+        model, variables, dataset.gallery, hw, flip_tta=flip_tta
+    )
     dist = compute_distance_matrix(qf, gf)
     if rerank:
         dist = re_ranking(

@@ -93,7 +93,10 @@ class TrainConfig:
     color_jitter: bool = False
     gaussian_blur: bool = False
     random_grayscale: float = 0.0
-    eval_interval: int = 0  # 0 = only at end
+    # ranking eval every N epochs during fit (0 = none; call .evaluate()
+    # explicitly — the CLI train command does so at the end)
+    eval_interval: int = 0
+    flip_tta: bool = False  # average flipped features at eval (reference --flip-tta)
     seed: int = 0
     ckpt_dir: str = ""
     # 0 = single device; N > 1 shards the P*K batch over an N-device mesh
@@ -259,6 +262,8 @@ class ReIDTrainer:
         self._head_warmup_steps = cfg.head_warmup_epochs * spe if vit else 0
         self._backbone_freeze_steps = cfg.backbone_freeze_epochs * spe
         self._aux_drop_steps = cfg.aux_ce_drop_epoch * spe
+        self._spe = spe
+        self.best_map = -1.0
         self.opt_state = self.tx.init(self.params)
         self.ema_params = jax.tree.map(jnp.copy, self.params)
         self.step = 0
@@ -431,8 +436,36 @@ class ReIDTrainer:
             aug_kwargs=self.cfg.aug_kwargs(),
         )
 
+    def evaluate(self, rerank: bool = False) -> dict:
+        """CMC/mAP ranking eval on the dataset's query/gallery with the
+        EMA weights (reference runs this every eval_interval epochs,
+        trainer.py:887-905)."""
+        from boxmot_tpu.reid.training.evaluator import evaluate_reid
+
+        return evaluate_reid(
+            self.model.backbone,
+            self.backbone_variables(ema=True),
+            self.dataset,
+            hw=self.cfg.crop_hw,
+            rerank=rerank,
+            flip_tta=self.cfg.flip_tta,
+        )
+
+    def _maybe_eval(self, verbose: bool) -> None:
+        res = self.evaluate()
+        rec = {"step": self.step, **{k: round(v, 4) for k, v in res.items()}}
+        self.history.append(rec)
+        if verbose:
+            print(rec)
+        if res["mAP"] > self.best_map:
+            self.best_map = res["mAP"]
+            if self.cfg.ckpt_dir:
+                # best-so-far snapshot (reference best.pt)
+                self.save_checkpoint(Path(self.cfg.ckpt_dir) / "best.pkl")
+
     def fit(self, steps: int | None = None, log_every: int = 50, verbose: bool = False):
         steps = steps if steps is not None else self.cfg.steps
+        eval_every = self.cfg.eval_interval * self._spe
         t0 = time.perf_counter()
         while self.step < steps:
             images, labels = self._next_batch()
@@ -470,6 +503,10 @@ class ReIDTrainer:
                 self.history.append(rec)
                 if verbose:
                     print(rec)
+            if eval_every and self.step % eval_every == 0:
+                self._maybe_eval(verbose)
+        if eval_every and steps % eval_every != 0:
+            self._maybe_eval(verbose)  # final epoch not on the interval
         if self.cfg.ckpt_dir:
             self.save_checkpoint()
         return self.history

@@ -281,3 +281,48 @@ class TestDataParallelTraining:
         cfg = self._cfg(tmp_path, n_devices=3)  # effective batch 4, not divisible
         with pytest.raises(ValueError, match="divide"):
             ReIDTrainer(cfg)
+
+
+class TestEvalDuringTraining:
+    """Ranking eval wiring (reference evaluates every eval_interval
+    epochs and snapshots the best mAP checkpoint, trainer.py:887-905)."""
+
+    def _cfg(self, tmp_path, **over):
+        base = dict(
+            model="osnet_x0_25", data_root=str(FIXTURE), crop_hw=(64, 32),
+            p=2, k=2, steps=2, warmup_steps=1, ckpt_dir=str(tmp_path), seed=0,
+        )
+        base.update(over)
+        return TrainConfig(**base)
+
+    def test_evaluate_method(self, tmp_path):
+        t = ReIDTrainer(self._cfg(tmp_path))
+        res = t.evaluate()
+        assert set(res) == {"rank1", "rank5", "mAP"}
+        assert all(0.0 <= v <= 1.0 for v in res.values())
+
+    def test_periodic_eval_and_best_checkpoint(self, tmp_path):
+        # epochs=2 with eval_interval=1 -> eval after each epoch
+        t = ReIDTrainer(self._cfg(tmp_path, steps=0, epochs=2,
+                                  warmup_epochs=1, eval_interval=1))
+        hist = t.fit(log_every=10**9)
+        evals = [h for h in hist if "mAP" in h]
+        assert len(evals) == 2
+        assert t.best_map >= 0
+        assert (Path(tmp_path) / "best.pkl").exists()
+
+    def test_flip_tta_changes_features_not_shapes(self, tmp_path):
+        from boxmot_tpu.reid.training.evaluator import extract_features
+
+        t = ReIDTrainer(self._cfg(tmp_path))
+        items = t.dataset.query[:3]
+        f0, p0, c0 = extract_features(
+            t.model.backbone, t.backbone_variables(), items, hw=(64, 32)
+        )
+        f1, p1, c1 = extract_features(
+            t.model.backbone, t.backbone_variables(), items, hw=(64, 32),
+            flip_tta=True,
+        )
+        assert f0.shape == f1.shape
+        assert not np.allclose(f0, f1)  # flip-averaged features differ
+        assert np.array_equal(p0, p1) and np.array_equal(c0, c1)

@@ -81,9 +81,14 @@ class TestRecipeLoading:
 
     def test_inapplicable_keys_dropped(self):
         kwargs = train_config_kwargs_from_recipe(
-            {"flip_tta": True, "preprocess": "resize", "lr": 1e-3}
+            {"random_patch": True, "preprocess": "resize", "lr": 1e-3}
         )
         assert kwargs == {"base_lr": 1e-3}
+
+    def test_flip_tta_lifts(self):
+        # consumed since the evaluator grew flip TTA
+        kwargs = train_config_kwargs_from_recipe({"flip_tta": True})
+        assert kwargs == {"flip_tta": True}
 
 
 class TestTrainerKnobs:
