@@ -25,14 +25,17 @@ def gradient_boosting_smooth(
     for obj_id in np.unique(data[:, 1]):
         tracks = data[data[:, 1] == obj_id].copy()
         t = tracks[:, 0].reshape(-1, 1)
+        # The reference smooths even degenerate short tracks (boosting on
+        # <min_samples_split rows collapses to the column mean) "for
+        # consistency" — replicate rather than passing them through raw
+        # (gbrc.py:75-77).
         for col in (2, 3, 4, 5):
-            if len(tracks) >= max(2, min_samples_split):
-                regr = GradientBoostingRegressor(
-                    n_estimators=n_estimators,
-                    learning_rate=learning_rate,
-                    min_samples_split=min_samples_split,
-                )
-                tracks[:, col] = regr.fit(t, tracks[:, col]).predict(t)
+            regr = GradientBoostingRegressor(
+                n_estimators=n_estimators,
+                learning_rate=learning_rate,
+                min_samples_split=min_samples_split,
+            )
+            tracks[:, col] = regr.fit(t, tracks[:, col]).predict(t)
         out.append(tracks)
     res = np.concatenate(out)
     return res[np.lexsort((res[:, 0], res[:, 1]))]

@@ -26,3 +26,27 @@ def load_reference():
     import boxmot  # the reference package
 
     return boxmot
+
+
+def stub_missing_modules(*names):
+    """Install empty module stubs for optional reference deps absent here.
+
+    E.g. the reference's gta.py imports ``torchvision.transforms`` at module
+    level but only uses it in the tracklet-*generation* CLI path; the
+    split/connect functions under differential test never touch it.
+    """
+    import types
+
+    for name in names:
+        try:
+            __import__(name)
+            continue
+        except ImportError:
+            pass
+        parts = name.split(".")
+        for i in range(len(parts)):
+            mod_name = ".".join(parts[: i + 1])
+            if mod_name not in sys.modules:
+                sys.modules[mod_name] = types.ModuleType(mod_name)
+            if i:
+                setattr(sys.modules[".".join(parts[:i])], parts[i], sys.modules[mod_name])
