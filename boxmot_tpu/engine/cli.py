@@ -239,15 +239,30 @@ def generate(data, cache_root, detector, reid_weights, preprocess,
               help="Detector weights: run live inference instead of det.txt")
 @click.option("--batch-size", type=int, default=0, show_default=True,
               help="ReID crop batch size for the live pipeline")
+@click.option("--project", type=click.Path(), default=None,
+              help="run output root; MOT txt defaults into an incremented "
+                   "<project>/<name> dir (reference runs/track semantics)")
+@click.option("--name", "run_name", default="exp", show_default=True,
+              help="run dir name under --project (auto-incremented)")
+@click.option("--exist-ok", is_flag=True,
+              help="reuse <project>/<name> instead of incrementing")
 @click.option("--param", "-p", multiple=True)
 def track(source, tracker, reid_weights, save_txt, save_video, show_trajectories,
-          show_timing, detector_weights, batch_size, param):
+          show_timing, detector_weights, batch_size, project, run_name, exist_ok,
+          param):
     """Run live tracking over a frame source."""
     from boxmot_tpu.engine.generate import load_frame
     from boxmot_tpu.engine.mot_io import convert_to_mot_format, write_mot_results
     from boxmot_tpu.trackers.zoo import REID_TRACKERS, create_tracker
 
     source = Path(source)
+    if project is not None:
+        from boxmot_tpu.utils.misc import increment_path
+
+        run_dir = increment_path(Path(project) / run_name, exist_ok=exist_ok, mkdir=True)
+        if save_txt is None:
+            save_txt = str(run_dir / f"{source.name}.txt")
+        click.echo(f"run dir: {run_dir}")
     img_dir = source / "img1" if (source / "img1").is_dir() else source
     frames = sorted(
         p for p in img_dir.iterdir() if p.suffix.lower() in (".jpg", ".png", ".jpeg")
