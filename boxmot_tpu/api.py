@@ -116,7 +116,7 @@ class Boxmot:
         else:
             from boxmot_tpu.data.loaders import iter_source
 
-            for f, img in enumerate(iter_source(str(source))):
+            for f, (_ident, img) in enumerate(iter_source(str(source))):
                 out = trk.update(np.zeros((0, 6), np.float32), img)
                 results.append(out)
         if save_txt and rows:

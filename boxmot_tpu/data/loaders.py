@@ -1,9 +1,11 @@
 """Frame sources: images, directories, globs, videos, webcams.
 
 Mirror of boxmot/data/loaders.py:72-120 iter_source: yields
-(path_or_index, frame_bgr) pairs with optional stride.  Video decoding
-uses imageio (no OpenCV); webcam capture requires imageio-ffmpeg and is
-gated with a clear error when unavailable.
+(path_or_index, frame_bgr) pairs with optional stride.  Video and
+webcam capture go through cv2.VideoCapture when OpenCV is installed
+(it is the decoder that actually ships here), falling back to imageio
+(+ffmpeg) otherwise; both are gated with a clear error when no backend
+can open the source.
 """
 
 from __future__ import annotations
@@ -24,7 +26,37 @@ def _read_image(path: Path) -> np.ndarray:
     return rgb[..., ::-1]  # BGR convention
 
 
+def _has_cv2() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("cv2") is not None
+
+
+def _iter_capture(cap, ident, vid_stride: int):
+    """Drain a cv2.VideoCapture (frames arrive already BGR)."""
+    import cv2
+
+    try:
+        if not cap.isOpened():
+            raise RuntimeError(f"cv2.VideoCapture could not open {ident!r}")
+        i = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                return
+            if i % vid_stride == 0:
+                yield ident, frame
+            i += 1
+    finally:
+        cap.release()
+
+
 def _iter_video(path: Path, vid_stride: int):
+    if _has_cv2():
+        import cv2
+
+        yield from _iter_capture(cv2.VideoCapture(str(path)), path, vid_stride)
+        return
     import imageio.v3 as iio
 
     for i, frame in enumerate(iio.imiter(path)):
@@ -43,7 +75,14 @@ def iter_source(source, vid_stride: int = 1):
     - glob pattern
     """
     if isinstance(source, int) or (isinstance(source, str) and source.isdigit()):
-        try:
+        try:  # pragma: no cover - needs a camera
+            if _has_cv2():
+                import cv2
+
+                yield from _iter_capture(
+                    cv2.VideoCapture(int(source)), int(source), vid_stride
+                )
+                return
             import imageio.v3 as iio
 
             for i, frame in enumerate(iio.imiter(f"<video{int(source)}>")):

@@ -67,3 +67,38 @@ def test_compute_fps_mask():
     assert frames[m].tolist() == [1, 4, 7, 10, 13, 16, 19, 22, 25, 28]
     assert compute_fps_mask(frames, 30, 60).all()  # target above original
     assert compute_fps_mask(np.zeros(0), 30, 10).shape == (0,)
+
+
+def _write_mp4(path, n_frames=12, wh=(64, 48)):
+    cv2 = pytest.importorskip("cv2")
+    wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 10, wh)
+    assert wr.isOpened()
+    for i in range(n_frames):
+        wr.write(np.full((wh[1], wh[0], 3), i * 20, np.uint8))
+    wr.release()
+
+
+def test_iter_source_video_cv2(tmp_path):
+    """Video decoding rides cv2.VideoCapture (the backend that ships here;
+    imageio has no ffmpeg plugin in this environment)."""
+    from boxmot_tpu.data.loaders import iter_source
+
+    vid = tmp_path / "clip.mp4"
+    _write_mp4(vid)
+    frames = list(iter_source(vid))
+    assert len(frames) == 12
+    ident, img = frames[0]
+    assert ident == vid
+    assert img.shape == (48, 64, 3) and img.dtype == np.uint8
+    assert len(list(iter_source(vid, vid_stride=2))) == 6
+
+
+def test_boxmot_track_over_video(tmp_path):
+    """Boxmot.track on a video source unpacks (ident, frame) pairs
+    (regression: the facade used to pass the tuple as the image)."""
+    from boxmot_tpu.api import Boxmot
+
+    vid = tmp_path / "clip.mp4"
+    _write_mp4(vid, n_frames=5)
+    results = Boxmot(tracker="bytetrack").track(source=vid)
+    assert len(results) == 5
