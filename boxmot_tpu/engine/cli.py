@@ -255,20 +255,26 @@ def track(source, tracker, reid_weights, save_txt, save_video, show_trajectories
     from boxmot_tpu.engine.mot_io import convert_to_mot_format, write_mot_results
     from boxmot_tpu.trackers.zoo import REID_TRACKERS, create_tracker
 
+    from boxmot_tpu.data.loaders import VIDEO_EXTS
+
     source = Path(source)
     if project is not None:
         from boxmot_tpu.utils.misc import increment_path
 
         run_dir = increment_path(Path(project) / run_name, exist_ok=exist_ok, mkdir=True)
         if save_txt is None:
-            save_txt = str(run_dir / f"{source.name}.txt")
+            save_txt = str(run_dir / f"{source.stem}.txt")
         click.echo(f"run dir: {run_dir}")
-    img_dir = source / "img1" if (source / "img1").is_dir() else source
-    frames = sorted(
-        p for p in img_dir.iterdir() if p.suffix.lower() in (".jpg", ".png", ".jpeg")
-    )
-    if not frames:
-        raise click.ClickException(f"no frames under {img_dir}")
+    is_video = source.is_file() and source.suffix.lower() in VIDEO_EXTS
+    if is_video:
+        frames = None  # streamed via iter_source; count unknown up front
+    else:
+        img_dir = source / "img1" if (source / "img1").is_dir() else source
+        frames = sorted(
+            p for p in img_dir.iterdir() if p.suffix.lower() in (".jpg", ".png", ".jpeg")
+        )
+        if not frames:
+            raise click.ClickException(f"no frames under {img_dir}")
 
     from boxmot_tpu.utils import reporters as rep
 
@@ -326,8 +332,16 @@ def track(source, tracker, reid_weights, save_txt, save_video, show_trajectories
         wp.start_step(rep.TRACK)
         writer = None
         rows = []
-        for f, img_path in enumerate(frames):
-            img = load_frame(img_path)
+        if is_video:
+            from boxmot_tpu.data.loaders import iter_source
+
+            frame_iter = (img for _ident, img in iter_source(source))
+            n_total = None
+        else:
+            frame_iter = (load_frame(p) for p in frames)
+            n_total = len(frames)
+        f = -1
+        for f, img in enumerate(frame_iter):
             if pipeline is not None:
                 dets, embs, result = pipeline(img)
                 upd_kwargs = {}
@@ -359,8 +373,10 @@ def track(source, tracker, reid_weights, save_txt, save_video, show_trajectories
                             f"cannot open video writer at {save_video}"
                         )
                 writer.write(canvas)
-            wp.advance("frames", f + 1, len(frames))
-        wp.finish_step(rep.TRACK, detail=f"{len(frames)} frames")
+            wp.advance("frames", f + 1, n_total if n_total else f + 1)
+        if f < 0:
+            raise click.ClickException(f"no frames decoded from {source}")
+        wp.finish_step(rep.TRACK, detail=f"{f + 1} frames")
     if writer is not None:
         writer.release()
         click.echo(f"wrote video to {save_video}")

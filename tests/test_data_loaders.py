@@ -102,3 +102,43 @@ def test_boxmot_track_over_video(tmp_path):
     _write_mp4(vid, n_frames=5)
     results = Boxmot(tracker="bytetrack").track(source=vid)
     assert len(results) == 5
+
+
+def test_cli_track_over_video(tmp_path, monkeypatch):
+    """cli track accepts a video source: frames stream through
+    iter_source and a live detector feeds the tracker."""
+    from click.testing import CliRunner
+
+    import boxmot_tpu.detectors.registry as registry
+    from boxmot_tpu.detectors.base import BaseDetectorBackend, Detections
+    from boxmot_tpu.engine import cli as cli_mod
+
+    class StubDetector(BaseDetectorBackend):
+        def __init__(self, *a, **k):
+            super().__init__(weights=None)
+
+        def preprocess(self, img):
+            return img, None
+
+        def process(self, batch):
+            return batch
+
+        def postprocess(self, raw, meta) -> Detections:
+            dets = np.array([[10, 10, 40, 44, 0.9, 0.0]], np.float32)
+            return Detections(xyxy=dets[:, :4], conf=dets[:, 4], cls=dets[:, 5])
+
+    monkeypatch.setattr(registry, "create_detector", lambda *a, **k: StubDetector())
+
+    vid = tmp_path / "clip.mp4"
+    _write_mp4(vid, n_frames=6)
+    out_txt = tmp_path / "clip_tracks.txt"
+    res = CliRunner().invoke(
+        cli_mod.cli,
+        ["track", "--source", str(vid), "--detector", "stub.pt",
+         "--save-txt", str(out_txt)],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    rows = np.loadtxt(out_txt, delimiter=",", ndmin=2)
+    assert rows.shape[1] == 9
+    assert set(rows[:, 0].astype(int)) <= set(range(1, 7)) and len(rows)
