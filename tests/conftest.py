@@ -22,3 +22,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the suite compiles the same tracker
+# step programs (per tracker x capacity x det-width combo) across many
+# files and all xdist workers; a shared on-disk cache dedups those
+# compiles within a run and makes re-runs start warm.  Keyed by HLO
+# hash, so code changes invalidate entries automatically.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
