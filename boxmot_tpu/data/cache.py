@@ -179,3 +179,27 @@ def load_cached_embs_per_frame(path: Path, n_frames: int):
         if len(sel):
             out[f - 1] = sel[:, 1:].astype(np.float32)
     return out
+
+
+def warp_cache_path(root: Path, cmc_method: str, seq: str) -> Path:
+    """Camera-motion warp cache: one (2, 3) affine warp per frame,
+    computed once at generate time so replay-from-cache can apply CMC
+    without decoding images (the reference estimates CMC from frames
+    during replay; the cache plays that role for the lockstep device
+    replay, which never touches images)."""
+    return Path(root) / "warps" / cmc_method / f"{seq}.npy"
+
+
+def load_cached_warps_per_frame(path: Path, n_frames: int) -> np.ndarray:
+    """(N, 7) [frame, w00, w01, w02, w10, w11, w12] cache -> (n_frames,
+    2, 3) float32 warps; frames missing from the cache get identity."""
+    rows = np.load(path)
+    out = np.broadcast_to(
+        np.eye(2, 3, dtype=np.float32), (n_frames, 2, 3)
+    ).copy()
+    if rows.size == 0:
+        return out
+    frames = rows[:, 0].astype(int)
+    keep = (frames >= 1) & (frames <= n_frames)
+    out[frames[keep] - 1] = rows[keep, 1:7].astype(np.float32).reshape(-1, 2, 3)
+    return out

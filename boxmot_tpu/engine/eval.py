@@ -96,6 +96,7 @@ def run_eval(
     kf_noise=None,
     n_workers: int = 1,
     progress=None,
+    cmc_method: str | None = None,
 ) -> dict:
     """Evaluate a tracker over all sequences under data_root.
 
@@ -104,9 +105,11 @@ def run_eval(
     replay-from-cache path, engine/eval/replay.py:216-369).  ``kf_noise``
     is a tune-kf JSON path or dict whose calibrated std weights are
     injected into the tracker config (the reference's
-    _apply_kf_tuning_to_runtime, engine/eval/replay.py:142). Returns
-    {"per_seq": {...}, "combined": {...}} metric dicts including HOTA,
-    MOTA, IDF1.
+    _apply_kf_tuning_to_runtime, engine/eval/replay.py:142).
+    ``cmc_method`` replays cached camera-motion warps (generated with
+    ``run_generate(..., cmc_method=...)``) through the device programs.
+    Returns {"per_seq": {...}, "combined": {...}} metric dicts including
+    HOTA, MOTA, IDF1.
     """
     from boxmot_tpu.data.cache import (
         det_cache_path,
@@ -128,19 +131,19 @@ def run_eval(
 
     tracker_type, tracker_backend = parse_tracker_spec(tracker_type)
     host_tracker = tracker_type not in _TRACKER_CONFIGS and tracker_backend != "cpp"
+    if reid is None and not host_tracker:
+        # no embedding cache: appearance terms off (the reference
+        # motion-only runs behave the same way, on both backends)
+        tracker_params.setdefault("with_reid", False)
     if tracker_backend == "cpp" or host_tracker:
         cfg = None
     else:
-        if reid is None:
-            # no embedding cache: appearance terms off (cpp backend and
-            # the reference motion-only runs behave the same way)
-            tracker_params.setdefault("with_reid", False)
         cfg = build_replay_config(tracker_type, **tracker_params)
-    def _process(seq):
+    def _load(seq):
         embs = None
         # motion-only tracker configs carry no feat_dim; cached embeddings
         # are ignored for them (the reference replay does the same)
-        wants_embs = hasattr(cfg, "feat_dim")
+        wants_embs = hasattr(cfg, "feat_dim") or tracker_backend == "cpp"
         if cache_root is not None:
             dets = load_cached_dets_per_frame(
                 det_cache_path(cache_root, detector, seq.name), seq.seq_length
@@ -157,10 +160,47 @@ def run_eval(
             dets = [d[k] for d, k in zip(dets, keep)]
             if embs is not None:
                 embs = [e[k] for e, k in zip(embs, keep)]
+        warps = None
+        if cmc_method and cache_root is not None:
+            from boxmot_tpu.data.cache import (
+                load_cached_warps_per_frame,
+                warp_cache_path,
+            )
+
+            wpath = warp_cache_path(cache_root, cmc_method, seq.name)
+            if wpath.exists():
+                warps = load_cached_warps_per_frame(wpath, seq.seq_length)
+        return dets, embs, warps
+
+    def _finish(seq, mot_rows, embs):
+        if postprocessing:
+            from boxmot_tpu.postprocessing import create_postprocessor
+
+            rows = mot_rows.astype(np.float64)
+            for name in filter(None, (n.strip() for n in postprocessing.split(","))):
+                pp = create_postprocessor(name)
+                if name == "gta":
+                    rows = pp(rows, embs_per_frame=embs)
+                else:
+                    rows = pp(rows)
+            mot_rows = rows
+        if output_dir is not None:
+            write_mot_results(Path(output_dir) / f"{seq.name}.txt", mot_rows)
+        entry = preprocess_sequence(
+            seq.gt(), mot_rows.astype(np.float64), seq.seq_length
+        )
+        if verbose:
+            print(f"replayed {seq.name}: {len(mot_rows)} track rows")
+        return entry
+
+    def _process(seq):
+        dets, embs, warps = _load(seq)
         if tracker_backend == "cpp":
             from boxmot_tpu.native.replay import replay_sequence_native
 
-            mot_rows = replay_sequence_native(tracker_type, dets, tracker_params)
+            mot_rows = replay_sequence_native(
+                tracker_type, dets, tracker_params, embs_per_frame=embs
+            )
         elif host_tracker:
             # Host-side trackers (sam2mot): per-frame update loop; seg
             # masks come from the generate-path mask cache when present
@@ -195,26 +235,8 @@ def run_eval(
                 np.concatenate(rows) if rows else np.zeros((0, 9), np.float32)
             )
         else:
-            mot_rows = replay_sequence(cfg, dets, embs_per_frame=embs)
-        if postprocessing:
-            from boxmot_tpu.postprocessing import create_postprocessor
-
-            rows = mot_rows.astype(np.float64)
-            for name in filter(None, (n.strip() for n in postprocessing.split(","))):
-                pp = create_postprocessor(name)
-                if name == "gta":
-                    rows = pp(rows, embs_per_frame=embs)
-                else:
-                    rows = pp(rows)
-            mot_rows = rows
-        if output_dir is not None:
-            write_mot_results(Path(output_dir) / f"{seq.name}.txt", mot_rows)
-        entry = preprocess_sequence(
-            seq.gt(), mot_rows.astype(np.float64), seq.seq_length
-        )
-        if verbose:
-            print(f"replayed {seq.name}: {len(mot_rows)} track rows")
-        return seq.name, entry
+            mot_rows = replay_sequence(cfg, dets, embs_per_frame=embs, warps=warps)
+        return seq.name, _finish(seq, mot_rows, embs)
 
     seq_data = {}
     n_total = len(dataset)
@@ -223,7 +245,23 @@ def run_eval(
         if progress is not None:
             progress(name, len(seq_data), n_total)
 
-    if tracker_backend == "cpp" and n_workers > 1 and len(dataset) > 1:
+    if cfg is not None:
+        # Device path: all sequences replay as batched lockstep programs —
+        # sequences sharing a (frame, det) bucket vmap together and the
+        # sequence axis shards over the chip mesh when >1 device is
+        # attached (the role the reference fills with per-sequence
+        # thread/process pools, engine/eval/replay.py:372-445).
+        from boxmot_tpu.engine.replay import replay_sequences_batched
+
+        inputs, seqs = [], list(dataset)
+        for seq in seqs:
+            dets, embs, warps = _load(seq)
+            inputs.append({"dets": dets, "embs": embs, "warps": warps})
+        mot_list = replay_sequences_batched(cfg, inputs)
+        for seq, inp, mot_rows in zip(seqs, inputs, mot_list):
+            seq_data[seq.name] = _finish(seq, mot_rows, inp["embs"])
+            _advance(seq.name)
+    elif tracker_backend == "cpp" and n_workers > 1 and len(dataset) > 1:
         # the native cores release the GIL inside bmt_tracker_update, so
         # a thread pool over sequences parallelizes on multi-core hosts
         # (the reference's per-sequence replay pool,
@@ -235,9 +273,6 @@ def run_eval(
                 seq_data[name] = entry
                 _advance(name)
     else:
-        # the device path stays serial: one chip, one replay program at a
-        # time (multi-chip spreads sequences over a Mesh instead —
-        # boxmot_tpu/parallel/replay.py)
         for seq in dataset:
             name, entry = _process(seq)
             seq_data[name] = entry

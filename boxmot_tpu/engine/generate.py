@@ -130,6 +130,33 @@ def _fill_embeddings(
     return done_rows
 
 
+def _fill_warps(seq, wpath, cmc, read=load_frame, progress=None):
+    """Per-frame camera-motion warps, resumable at frame granularity.
+
+    The reference estimates CMC from decoded frames inside the tracker
+    update; the lockstep device replay never touches images, so warps
+    are estimated once here and replayed from cache
+    (engine/replay.py scan_replay warps_seq input)."""
+    writer = AppendableNpyWriter(wpath, 7)
+    n_frames = min(seq.seq_length, len(seq.img_paths))
+    start = writer.rows
+    if start >= n_frames:
+        writer.close()
+        return start
+    # CMC is sequential (prev-frame state): re-prime on resume.
+    for f in range(n_frames):
+        img = read(seq.img_paths[f])
+        warp = np.asarray(cmc.apply(img), np.float32)
+        if f >= start:
+            writer.append(
+                np.concatenate([[np.float32(f + 1)], warp.ravel()])[None]
+            )
+        if progress is not None:
+            progress(seq.name, f + 1, n_frames)
+    writer.close()
+    return n_frames
+
+
 def run_generate(
     data_root: Path,
     cache_root: Path,
@@ -143,6 +170,7 @@ def run_generate(
     progress=None,
     batch_size: int = 0,
     auto_batch: bool = True,
+    cmc_method: str | None = None,
 ) -> dict:
     """Generate det / mask / emb caches for every sequence.
 
@@ -213,6 +241,14 @@ def run_generate(
                 seq, dets_per_frame, epath, reid_model,
                 frame_cache=frame_cache, progress=progress,
                 batch_size=batch_size, auto_batch=auto_batch,
+            )
+        if cmc_method:
+            from boxmot_tpu.data.cache import warp_cache_path
+            from boxmot_tpu.motion.cmc import create_cmc
+
+            wpath = warp_cache_path(cache_root, cmc_method, seq.name)
+            stats[seq.name]["warps"] = _fill_warps(
+                seq, wpath, create_cmc(cmc_method), progress=progress
             )
         if verbose:
             print(f"generated {seq.name}: {stats[seq.name]}")

@@ -175,6 +175,105 @@ def pack_embs(embs_per_frame, feat_dim, D=None, F=None):
     return out
 
 
+def _unpack_mot_rows(outs, masks, n_frames, frame_offset: int = 0):
+    """Gather device replay outputs for one sequence into MOT rows."""
+    rows = []
+    for f in range(n_frames):
+        frame_rows = outs[f][masks[f]]
+        if len(frame_rows):
+            rows.append(convert_to_mot_format(frame_rows, frame_offset + f + 1))
+    if rows:
+        return np.concatenate(rows, axis=0)
+    return np.empty((0, 9), np.float32)
+
+
+def replay_sequences_batched(cfg, seqs, devices=None):
+    """Replay many sequences as batched device programs.
+
+    ``seqs`` is a list of dicts with keys ``dets`` (list of per-frame
+    (Ni, 6|7) arrays), optional ``embs`` (per-frame (Ni, feat) arrays)
+    and optional ``warps`` ((F, 2, 3) camera-motion warps).  Returns a
+    list of MOT row arrays in input order.
+
+    This is the eval hot path the reference covers with per-sequence
+    thread/process pools (boxmot/engine/eval/replay.py:372-445); here
+    sequences sharing a (frame, det) bucket run in lockstep as ONE
+    vmapped lax.scan, and the sequence axis shards over the device mesh
+    when more than one chip is attached (boxmot_tpu/parallel/replay.py).
+    Per-sequence results are bit-identical to replay_sequence: grouping
+    only batches independent programs, it never mixes sequences.
+    """
+    det_cols = 7 if getattr(cfg, "is_obb", False) else 6
+    feat_dim = getattr(cfg, "feat_dim", 1)
+    devices = devices if devices is not None else jax.devices()
+
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, s in enumerate(seqs):
+        dets = s["dets"]
+        max_d = max((len(d) for d in dets), default=1)
+        key = (
+            _bucket(max(len(dets), 1), FRAME_BUCKETS),
+            _bucket(max(max_d, 1), DET_BUCKETS),
+        )
+        groups.setdefault(key, []).append(i)
+
+    results: list = [None] * len(seqs)
+    for (F, D), idxs in groups.items():
+        packed, embs_b, warps_b, n_frames_list = [], [], [], []
+        want_embs = any(seqs[i].get("embs") is not None for i in idxs)
+        want_warps = any(seqs[i].get("warps") is not None for i in idxs)
+        for i in idxs:
+            s = seqs[i]
+            p, n_frames = pack_frames(s["dets"], D=D, F=F, det_cols=det_cols)
+            packed.append(p)
+            n_frames_list.append(n_frames)
+            if want_embs:
+                e = s.get("embs")
+                embs_b.append(
+                    pack_embs(e, feat_dim, D=D, F=F)
+                    if e is not None
+                    else np.zeros((F, D, feat_dim), np.float32)
+                )
+            if want_warps:
+                w = np.broadcast_to(
+                    np.eye(2, 3, dtype=np.float32), (F, 2, 3)
+                ).copy()
+                sw = s.get("warps")
+                if sw is not None:
+                    w[: len(sw)] = sw
+                warps_b.append(w)
+        dets_batch = np.stack(packed)
+        embs_batch = np.stack(embs_b) if want_embs else None
+        warps_batch = np.stack(warps_b) if want_warps else None
+        if len(devices) > 1:
+            from boxmot_tpu.parallel.replay import (
+                sequence_mesh,
+                sharded_batch_replay,
+            )
+
+            _, outs, masks = sharded_batch_replay(
+                cfg,
+                dets_batch,
+                sequence_mesh(devices),
+                embs_batch=embs_batch,
+                warps_batch=warps_batch,
+            )
+        else:
+            states = init_states(cfg, len(idxs))
+            _, outs, masks = batch_replay(
+                cfg,
+                states,
+                jnp.asarray(dets_batch),
+                jnp.asarray(embs_batch) if embs_batch is not None else None,
+                jnp.asarray(warps_batch) if warps_batch is not None else None,
+            )
+        outs = np.asarray(outs)
+        masks = np.asarray(masks)
+        for k, i in enumerate(idxs):
+            results[i] = _unpack_mot_rows(outs[k], masks[k], n_frames_list[k])
+    return results
+
+
 def replay_sequence(cfg, dets_per_frame, embs_per_frame=None, warps=None, frame_offset: int = 0):
     """Replay one sequence and return MOT rows (N, 9) on the host.
 
@@ -201,13 +300,6 @@ def replay_sequence(cfg, dets_per_frame, embs_per_frame=None, warps=None, frame_
         warps_seq = jnp.asarray(w)
     state = init_state(cfg)
     _, outs, masks = scan_replay(cfg, state, jnp.asarray(packed), embs, warps_seq)
-    outs = np.asarray(outs)
-    masks = np.asarray(masks)
-    rows = []
-    for f in range(n_frames):
-        frame_rows = outs[f][masks[f]]
-        if len(frame_rows):
-            rows.append(convert_to_mot_format(frame_rows, frame_offset + f + 1))
-    if rows:
-        return np.concatenate(rows, axis=0)
-    return np.empty((0, 9), np.float32)
+    return _unpack_mot_rows(
+        np.asarray(outs), np.asarray(masks), n_frames, frame_offset
+    )

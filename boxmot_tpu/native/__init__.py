@@ -25,15 +25,24 @@ _LIB = None
 _TRIED = False
 
 
+def _sources_mtime() -> float:
+    """Newest mtime across the C++ sources (stale-build detection)."""
+    newest = 0.0
+    for pattern in ("src/*.cpp", "src/*.hpp", "CMakeLists.txt"):
+        for p in _CPP_DIR.glob(pattern):
+            newest = max(newest, p.stat().st_mtime)
+    return newest
+
+
 def _build_library() -> Path | None:
     lib = _BUILD_DIR / "libboxmot_native.so"
-    if lib.exists():
+    if lib.exists() and lib.stat().st_mtime >= _sources_mtime():
         return lib
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
     lock_path = _BUILD_DIR / ".build.lock"
     with open(lock_path, "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)  # cross-process build lock
-        if lib.exists():
+        if lib.exists() and lib.stat().st_mtime >= _sources_mtime():
             return lib
         try:
             subprocess.run(

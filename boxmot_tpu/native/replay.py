@@ -29,8 +29,14 @@ def replay_sequence_native(
     dets_per_frame,
     tracker_params: dict | None = None,
     frame_offset: int = 0,
+    embs_per_frame=None,
 ) -> np.ndarray:
-    """Replay one sequence on a native core; returns (N, 9) MOT rows."""
+    """Replay one sequence on a native core; returns (N, 9) MOT rows.
+
+    ``embs_per_frame`` replays cached appearance embeddings through the
+    native cores' appearance paths (the reference's cpp replay consumes
+    dets+embs caches, boxmot/native/cpp/trackers/base/src/io.cpp +
+    engine/eval/replay.py:533)."""
     from boxmot_tpu.engine.mot_io import convert_to_mot_format
     from boxmot_tpu.trackers.zoo import create_tracker
 
@@ -40,7 +46,10 @@ def replay_sequence_native(
     rows = []
     for f, dets in enumerate(dets_per_frame):
         dets = np.asarray(dets, np.float32).reshape(-1, 6)
-        out = trk.update(dets)
+        embs = None
+        if embs_per_frame is not None:
+            embs = np.asarray(embs_per_frame[f], np.float32)
+        out = trk.update(dets, embs=embs)
         if out.shape[0]:
             rows.append(convert_to_mot_format(np.asarray(out), frame_offset + f + 1))
     if rows:

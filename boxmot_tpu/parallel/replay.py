@@ -31,21 +31,54 @@ def shard_over_sequences(mesh: Mesh, tree):
     return jax.device_put(tree, sharding)
 
 
-def sharded_batch_replay(cfg, dets_batch: np.ndarray, mesh: Mesh | None = None):
+def sharded_batch_replay(
+    cfg,
+    dets_batch: np.ndarray,
+    mesh: Mesh | None = None,
+    embs_batch: np.ndarray | None = None,
+    warps_batch: np.ndarray | None = None,
+):
     """Replay (S, F, D, 7) detection batches, S sharded over chips.
 
-    Returns (final_states, outs (S, F, K, 8), masks (S, F, K)) — all
+    S is padded up to a multiple of the device count with empty sequences
+    (all-padding detections, conf = -1), so any sequence batch shards;
+    callers slice outputs back to the original S.  Returns
+    (final_states, outs (S_pad, F, K, 8), masks (S_pad, F, K)) — all
     sharded; index or np.asarray() to gather.
     """
+    import jax.numpy as jnp
+
     mesh = mesh or sequence_mesh()
     S = dets_batch.shape[0]
     n_dev = len(mesh.devices.flat)
-    if S % n_dev != 0:
-        raise ValueError(f"sequence batch {S} not divisible by {n_dev} devices")
-    states = init_states(cfg, S)
+    pad = (-S) % n_dev
+    if pad:
+        empty = np.zeros((pad,) + dets_batch.shape[1:], np.float32)
+        empty[..., 2:4] = 1.0
+        conf_i = 5 if getattr(cfg, "is_obb", False) else 4
+        empty[..., conf_i] = -1.0
+        dets_batch = np.concatenate([np.asarray(dets_batch), empty])
+        if embs_batch is not None:
+            embs_batch = np.concatenate(
+                [
+                    np.asarray(embs_batch),
+                    np.zeros((pad,) + embs_batch.shape[1:], np.float32),
+                ]
+            )
+        if warps_batch is not None:
+            ident = np.broadcast_to(
+                np.eye(2, 3, dtype=np.float32),
+                (pad,) + warps_batch.shape[1:],
+            )
+            warps_batch = np.concatenate([np.asarray(warps_batch), ident])
+    states = init_states(cfg, S + pad)
     states = shard_over_sequences(mesh, states)
-    dets_batch = shard_over_sequences(mesh, jax.numpy.asarray(dets_batch))
-    return batch_replay(cfg, states, dets_batch)
+    dets_batch = shard_over_sequences(mesh, jnp.asarray(dets_batch))
+    if embs_batch is not None:
+        embs_batch = shard_over_sequences(mesh, jnp.asarray(embs_batch))
+    if warps_batch is not None:
+        warps_batch = shard_over_sequences(mesh, jnp.asarray(warps_batch))
+    return batch_replay(cfg, states, dets_batch, embs_batch, warps_batch)
 
 
 def sharded_reid_features(reid, crops_batch: np.ndarray, mesh: Mesh | None = None):

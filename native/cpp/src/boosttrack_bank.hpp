@@ -245,16 +245,22 @@ inline void boost_duo(const BoostTrackConfig& cfg, const float* dets, int64_t n,
     }
 }
 
-// Build the multi-cue cost matrix (K, D) (assoc.py:156-203, reid term
-// omitted — motion-only cores).
+// Build the multi-cue cost matrix (K, D) (assoc.py:156-203).  When
+// emb_cost (n x K appearance similarity) is given, the ReID term is
+// fused with l_emb = (1 + l_iou + l_shape + l_mhd) * emb_multiplier
+// (device boost_cost, boxmot_tpu/trackers/boosttrack.py:293-308).
 inline std::vector<double> boost_cost_kd(const BoostTrackConfig& cfg,
                                          const float* dets, int64_t n, int K,
                                          const std::vector<float>& iou_dk,
                                          const std::vector<float>& mh_sim,
                                          const std::vector<float>& conf,
                                          const std::vector<float>& trk_conf,
-                                         const std::vector<float>& trk_box) {
+                                         const std::vector<float>& trk_box,
+                                         const float* emb_cost = nullptr,
+                                         float emb_multiplier = 1.5f) {
     std::vector<double> cost_kd(static_cast<size_t>(K) * static_cast<size_t>(n), 0.0);
+    const float lambda_emb =
+        (1.0f + cfg.lambda_iou + cfg.lambda_shape + cfg.lambda_mhd) * emb_multiplier;
     for (int64_t j = 0; j < n; ++j) {
         float dw = dets[j * 6 + 2] - dets[j * 6 + 0];
         float dh = dets[j * 6 + 3] - dets[j * 6 + 1];
@@ -267,10 +273,39 @@ inline std::vector<double> boost_cost_kd(const BoostTrackConfig& cfg,
                       cfg.lambda_shape * conf_dk *
                           boost_shape_sim(cfg.s_sim_corr, dw, dh,
                                           &trk_box[static_cast<size_t>(i) * 4]);
+            if (emb_cost) c += lambda_emb * emb_cost[static_cast<size_t>(j) * K + i];
             cost_kd[static_cast<size_t>(i) * n + j] = c;
         }
     }
     return cost_kd;
+}
+
+// L2-normalize (n, feat_dim) det embeddings (device det_emb).
+inline std::vector<float> boost_norm_embs(const float* embs, int64_t n,
+                                          int64_t feat_dim) {
+    std::vector<float> feat(static_cast<size_t>(n) * feat_dim, 0.0f);
+    for (int64_t j = 0; j < n; ++j) {
+        double norm = 0.0;
+        const float* e = embs + j * feat_dim;
+        for (int64_t d = 0; d < feat_dim; ++d) norm += double(e[d]) * e[d];
+        float inv = 1.0f / std::max(static_cast<float>(std::sqrt(norm)), 1e-12f);
+        float* f = &feat[static_cast<size_t>(j) * feat_dim];
+        for (int64_t d = 0; d < feat_dim; ++d) f[d] = e[d] * inv;
+    }
+    return feat;
+}
+
+// EMA embedding update, renormalized (device boosttrack_step:378-384):
+// emb <- norm(a * emb + (1 - a) * det_emb)
+inline void boost_emb_ema(float* emb, const float* det_feat, int64_t feat_dim,
+                          float a) {
+    double norm = 0.0;
+    for (int64_t d = 0; d < feat_dim; ++d) {
+        emb[d] = a * emb[d] + (1.0f - a) * det_feat[d];
+        norm += double(emb[d]) * emb[d];
+    }
+    float inv = 1.0f / std::max(static_cast<float>(std::sqrt(norm)), 1e-12f);
+    for (int64_t d = 0; d < feat_dim; ++d) emb[d] *= inv;
 }
 
 // match() (assoc.py:113-120): unique-candidate shortcut on the combined

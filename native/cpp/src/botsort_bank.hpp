@@ -1,13 +1,15 @@
 // BoT-SORT as a fixed-capacity slot bank on the CPU.
 //
 // Step-for-step mirror of the device program in
-// boxmot_tpu/trackers/botsort.py (botsort_step) in its motion-only
-// configuration (with_reid=False, identity camera warp): the ByteTrack
+// boxmot_tpu/trackers/botsort.py (botsort_step): the ByteTrack
 // two-stage skeleton on the XYWH Kalman filter with BotSort's
 // thresholds, the unconfirmed pass, confidence-weighted class voting,
-// and tracked/lost duplicate suppression.  The appearance-fusion and
-// CMC terms are gated on with_reid / the warp input in the device
-// program and therefore absent here by the same semantics.  Reference:
+// tracked/lost duplicate suppression, and — when `with_reid` is set and
+// per-detection embeddings are supplied via step_embs — the appearance
+// fusion (EMA smooth-feature bank, min(iou, emb) costs gated by
+// proximity/appearance thresholds; botsort.py:257-323).  The reference's
+// cpp replay likewise consumes cached dets+embs
+// (boxmot/native/cpp/trackers/base/src/io.cpp).  Reference:
 // boxmot/trackers/bbox/botsort/botsort.py:20-500, botsort_track.py.
 
 #ifndef BOXMOT_BOTSORT_BANK_HPP
@@ -31,6 +33,12 @@ struct BotSortConfig {
     float second_match_thresh = 0.5f;
     float unconfirmed_match_thresh = 0.7f;
     bool fuse_first_associate = false;
+    // appearance fusion (device botsort_step with_reid path)
+    bool with_reid = false;
+    float proximity_thresh = 0.5f;
+    float appearance_thresh = 0.25f;
+    float unconfirmed_emb_scale = 2.0f;
+    float ema_alpha = 0.9f;
     int max_time_lost = 30;
     int nr_classes = 80;
     float std_weight_position = 1.0f / 20.0f;
@@ -56,6 +64,14 @@ struct BotSortConfig {
         c.unconfirmed_match_thresh = static_cast<float>(
             cfg_get(kv, "unconfirmed_match_thresh", c.unconfirmed_match_thresh));
         c.fuse_first_associate = cfg_get(kv, "fuse_first_associate", 0.0) != 0.0;
+        c.with_reid = cfg_get(kv, "with_reid", 0.0) != 0.0;
+        c.proximity_thresh =
+            static_cast<float>(cfg_get(kv, "proximity_thresh", c.proximity_thresh));
+        c.appearance_thresh =
+            static_cast<float>(cfg_get(kv, "appearance_thresh", c.appearance_thresh));
+        c.unconfirmed_emb_scale = static_cast<float>(
+            cfg_get(kv, "unconfirmed_emb_scale", c.unconfirmed_emb_scale));
+        c.ema_alpha = static_cast<float>(cfg_get(kv, "ema_alpha", c.ema_alpha));
         c.max_time_lost = static_cast<int>(cfg_get(kv, "max_time_lost", c.max_time_lost));
         c.nr_classes = std::max(static_cast<int>(cfg_get(kv, "nr_classes", c.nr_classes)), 1);
         c.std_weight_position =
@@ -102,13 +118,16 @@ class BotSortCore {
         tracklet_len_.assign(K, 0);
         cls_scores_.assign(K * NC, 0.0f);
         cls_seen_.assign(K * NC, 0);
+        has_feat_.assign(K, 0);
+        smooth_feat_.clear();
+        feat_dim_ = 0;
         cmc_.reset();
         frame_count_ = 0;
         next_id_ = 1;
     }
 
     int64_t step(const float* dets, int64_t n, float* out) {
-        return step_warp(dets, n, Warp2x3(), out);
+        return step_impl(dets, n, nullptr, 0, Warp2x3(), out);
     }
 
     // image-aware update: estimate camera motion, then track
@@ -118,10 +137,31 @@ class BotSortCore {
                      int64_t W, float* out) {
         Warp2x3 warp;
         if (cfg_.use_cmc && img) warp = cmc_.apply(img, H, W);
-        return step_warp(dets, n, warp, out);
+        return step_impl(dets, n, nullptr, 0, warp, out);
+    }
+
+    // appearance update with precomputed embeddings (the cached-embs
+    // replay path; device botsort_step's embs input)
+    int64_t step_embs(const float* dets, int64_t n, const float* embs,
+                      int64_t feat_dim, float* out) {
+        return step_impl(dets, n, embs, feat_dim, Warp2x3(), out);
+    }
+
+    // live path with both the frame (CMC) and embeddings (appearance)
+    int64_t step_img_embs(const float* dets, int64_t n, const uint8_t* img,
+                          int64_t H, int64_t W, const float* embs,
+                          int64_t feat_dim, float* out) {
+        Warp2x3 warp;
+        if (cfg_.use_cmc && img) warp = cmc_.apply(img, H, W);
+        return step_impl(dets, n, embs, feat_dim, warp, out);
     }
 
     int64_t step_warp(const float* dets, int64_t n, const Warp2x3& warp, float* out) {
+        return step_impl(dets, n, nullptr, 0, warp, out);
+    }
+
+    int64_t step_impl(const float* dets, int64_t n, const float* embs,
+                      int64_t feat_dim, const Warp2x3& warp, float* out) {
         const int K = cfg_.capacity;
         const int32_t frame = ++frame_count_;
 
@@ -202,13 +242,57 @@ class BotSortCore {
                     iou_xyxy(&trk_xyxy[static_cast<size_t>(i) * 4], &dets[j * 6]);
         }
 
+        // --- appearance features (device botsort_step:226-262): L2-norm
+        // det embeddings, cosine distance to the EMA smooth-feature bank
+        const bool use_emb = cfg_.with_reid && embs != nullptr && feat_dim > 0;
+        std::vector<float> feat;
+        std::vector<float> emb_dist;  // (K, n) raw cosine distance
+        if (use_emb) {
+            if (feat_dim_ != feat_dim) {
+                // first embedding seen fixes the bank's feature width
+                feat_dim_ = feat_dim;
+                smooth_feat_.assign(static_cast<size_t>(K) * feat_dim, 0.0f);
+                std::fill(has_feat_.begin(), has_feat_.end(), static_cast<char>(0));
+            }
+            feat.assign(static_cast<size_t>(n) * feat_dim, 0.0f);
+            for (int64_t j = 0; j < n; ++j) {
+                double norm = 0.0;
+                const float* e = embs + j * feat_dim;
+                for (int64_t d = 0; d < feat_dim; ++d) norm += double(e[d]) * e[d];
+                float inv = 1.0f / std::max(static_cast<float>(std::sqrt(norm)), 1e-12f);
+                float* f = &feat[static_cast<size_t>(j) * feat_dim];
+                for (int64_t d = 0; d < feat_dim; ++d) f[d] = e[d] * inv;
+            }
+            emb_dist.assign(static_cast<size_t>(K) * static_cast<size_t>(n), 1.0f);
+            for (int i = 0; i < K; ++i) {
+                if ((!pool[i] && !unconf[i]) || !has_feat_[i]) continue;
+                const float* s = &smooth_feat_[static_cast<size_t>(i) * feat_dim];
+                for (int64_t j = 0; j < n; ++j) {
+                    double dot = 0.0;
+                    const float* f = &feat[static_cast<size_t>(j) * feat_dim];
+                    for (int64_t d = 0; d < feat_dim; ++d) dot += double(s[d]) * f[d];
+                    emb_dist[static_cast<size_t>(i) * n + j] =
+                        std::max(0.0f, 1.0f - static_cast<float>(dot));
+                }
+            }
+        }
+
         // --- pass 1: pool vs high-conf dets
         std::vector<double> cost1(static_cast<size_t>(K) * static_cast<size_t>(n));
         for (int i = 0; i < K; ++i)
             for (int64_t j = 0; j < n; ++j) {
                 double v = iou[static_cast<size_t>(i) * n + j];
-                cost1[static_cast<size_t>(i) * n + j] =
-                    cfg_.fuse_first_associate ? 1.0 - v * dets[j * 6 + 4] : 1.0 - v;
+                double c = cfg_.fuse_first_associate ? 1.0 - v * dets[j * 6 + 4] : 1.0 - v;
+                if (use_emb) {
+                    // emb term clipped at appearance_thresh and masked by
+                    // the IoU proximity gate; cost = min(iou, emb)
+                    // (botsort.py:285-321 / device :268-273)
+                    double e = emb_dist[static_cast<size_t>(i) * n + j];
+                    if (e > cfg_.appearance_thresh) e = 1.0;
+                    if (1.0 - v > cfg_.proximity_thresh) e = 1.0;
+                    c = std::min(c, e);
+                }
+                cost1[static_cast<size_t>(i) * n + j] = c;
             }
         std::vector<int32_t> r2c1 =
             masked_assignment(cost1, K, n, pool, first, cfg_.match_thresh);
@@ -233,10 +317,20 @@ class BotSortCore {
                 first[static_cast<size_t>(j)] && !det_taken[static_cast<size_t>(j)];
         std::vector<double> cost3(static_cast<size_t>(K) * static_cast<size_t>(n));
         for (int i = 0; i < K; ++i)
-            for (int64_t j = 0; j < n; ++j)
-                cost3[static_cast<size_t>(i) * n + j] =
-                    1.0 - static_cast<double>(iou[static_cast<size_t>(i) * n + j]) *
-                              dets[j * 6 + 4];
+            for (int64_t j = 0; j < n; ++j) {
+                double v = iou[static_cast<size_t>(i) * n + j];
+                double c = 1.0 - v * dets[j * 6 + 4];
+                if (use_emb) {
+                    // unconfirmed pass scales emb distance down
+                    // (device botsort_step:286-293)
+                    double e = emb_dist[static_cast<size_t>(i) * n + j] /
+                               cfg_.unconfirmed_emb_scale;
+                    if (e > cfg_.appearance_thresh) e = 1.0;
+                    if (1.0 - v > cfg_.proximity_thresh) e = 1.0;
+                    c = std::min(c, e);
+                }
+                cost3[static_cast<size_t>(i) * n + j] = c;
+            }
         std::vector<int32_t> r2c3 =
             masked_assignment(cost3, K, n, unconf, u_first, cfg_.unconfirmed_match_thresh);
         for (int i = 0; i < K; ++i)
@@ -250,6 +344,24 @@ class BotSortCore {
             xyxy_to_xywh(&dets[static_cast<int64_t>(j) * 6], z);
             kf_.update(&mean_[static_cast<size_t>(i) * DX],
                        &cov_[static_cast<size_t>(i) * DX * DX], z);
+            if (use_emb && first[static_cast<size_t>(j)]) {
+                // EMA appearance bank, renormalized (botsort_track.py:58-67);
+                // second-stage dets carry no features
+                float* s = &smooth_feat_[static_cast<size_t>(i) * feat_dim];
+                const float* f = &feat[static_cast<size_t>(j) * feat_dim];
+                if (has_feat_[i]) {
+                    double norm = 0.0;
+                    for (int64_t d = 0; d < feat_dim; ++d) {
+                        s[d] = cfg_.ema_alpha * s[d] + (1.0f - cfg_.ema_alpha) * f[d];
+                        norm += double(s[d]) * s[d];
+                    }
+                    float inv = 1.0f / std::max(static_cast<float>(std::sqrt(norm)), 1e-12f);
+                    for (int64_t d = 0; d < feat_dim; ++d) s[d] *= inv;
+                } else {
+                    for (int64_t d = 0; d < feat_dim; ++d) s[d] = f[d];
+                    has_feat_[i] = 1;
+                }
+            }
             bool was_tracked = status_[i] == kTracked;
             tracklet_len_[i] = was_tracked ? tracklet_len_[i] + 1 : 0;
             status_[i] = kTracked;
@@ -283,6 +395,15 @@ class BotSortCore {
             status_[i] = kTracked;
             activated_[i] = frame == 1;
             tid_[i] = next_id_++;
+            if (use_emb) {
+                // new-track feature seed (STrack.__init__:41-44)
+                float* s = &smooth_feat_[static_cast<size_t>(i) * feat_dim];
+                const float* f = &feat[static_cast<size_t>(j) * feat_dim];
+                for (int64_t d = 0; d < feat_dim; ++d) s[d] = f[d];
+                has_feat_[i] = 1;
+            } else {
+                has_feat_[i] = 0;
+            }
             conf_[i] = dets[j * 6 + 4];
             cls_[i] = dets[j * 6 + 5];
             det_ind_[i] = static_cast<float>(j);
@@ -369,8 +490,10 @@ class BotSortCore {
     EccCmc cmc_;
     KalmanBank<XywhLayout> kf_{XywhLayout()};
     std::vector<float> mean_, cov_, conf_, cls_, det_ind_, cls_scores_;
+    std::vector<float> smooth_feat_;  // (K, feat_dim) EMA appearance bank
     std::vector<int32_t> status_, tid_, frame_id_, start_frame_, tracklet_len_;
-    std::vector<char> activated_, cls_seen_;
+    std::vector<char> activated_, cls_seen_, has_feat_;
+    int64_t feat_dim_ = 0;
     int32_t frame_count_ = 0;
     int32_t next_id_ = 1;
 };

@@ -4,9 +4,10 @@
 // (boxmot/native/cpp/trackers/*/src/c_api.cpp; contract described in
 // live_c_api.hpp): create from a config string, feed (N, 6) detections
 // per frame — optionally with the BGR frame for camera-motion
-// compensation — receive (M, 8) [x1,y1,x2,y2,id,conf,cls,det_ind] rows.
-// Embedding inputs are not part of this ABI — appearance trackers run
-// on the device path.
+// compensation, or with per-detection appearance embeddings
+// (bmt_tracker_update_embs; the role the reference's cpp replay fills
+// by reading dets+embs caches, native/cpp/trackers/base/src/io.cpp) —
+// receive (M, 8) [x1,y1,x2,y2,id,conf,cls,det_ind] rows.
 
 #include <cstdint>
 #include <cstring>
@@ -55,6 +56,25 @@ struct has_step_img<T, std::void_t<decltype(std::declval<T&>().step_img(
                            int64_t{0}, static_cast<float*>(nullptr)))>>
     : std::true_type {};
 
+template <class T, class = void>
+struct has_step_embs : std::false_type {};
+template <class T>
+struct has_step_embs<T, std::void_t<decltype(std::declval<T&>().step_embs(
+                            static_cast<const float*>(nullptr), int64_t{0},
+                            static_cast<const float*>(nullptr), int64_t{0},
+                            static_cast<float*>(nullptr)))>> : std::true_type {};
+
+template <class T, class = void>
+struct has_step_img_embs : std::false_type {};
+template <class T>
+struct has_step_img_embs<T,
+                         std::void_t<decltype(std::declval<T&>().step_img_embs(
+                             static_cast<const float*>(nullptr), int64_t{0},
+                             static_cast<const uint8_t*>(nullptr), int64_t{0},
+                             int64_t{0}, static_cast<const float*>(nullptr),
+                             int64_t{0}, static_cast<float*>(nullptr)))>>
+    : std::true_type {};
+
 struct TrackerHandle {
     virtual ~TrackerHandle() = default;
     virtual void reset() = 0;
@@ -64,6 +84,13 @@ struct TrackerHandle {
     virtual int64_t step_masks(const float* dets, int64_t n, const uint8_t* masks,
                                int64_t mH, int64_t mW, int64_t fH, int64_t fW,
                                float* out, uint8_t* out_masks) = 0;
+    virtual int64_t step_embs(const float* dets, int64_t n, const float* embs,
+                              int64_t feat_dim, float* out) = 0;
+    virtual int64_t step_img_embs(const float* dets, int64_t n,
+                                  const uint8_t* img, int64_t H, int64_t W,
+                                  const float* embs, int64_t feat_dim,
+                                  float* out) = 0;
+    virtual bool supports_embs() const = 0;
     virtual int capacity() const = 0;
     virtual int out_cols() const = 0;
     virtual int64_t next_track_id() const = 0;
@@ -96,6 +123,28 @@ struct HandleImpl final : TrackerHandle {
             return core.step(dets, n, out);  // box-only core: masks unused
         }
     }
+    int64_t step_embs(const float* dets, int64_t n, const float* embs,
+                      int64_t feat_dim, float* out) override {
+        if constexpr (has_step_embs<Core>::value) {
+            return core.step_embs(dets, n, embs, feat_dim, out);
+        } else {
+            (void)embs; (void)feat_dim;
+            return core.step(dets, n, out);  // motion-only core: embs unused
+        }
+    }
+    int64_t step_img_embs(const float* dets, int64_t n, const uint8_t* img,
+                          int64_t H, int64_t W, const float* embs,
+                          int64_t feat_dim, float* out) override {
+        if constexpr (has_step_img_embs<Core>::value) {
+            return core.step_img_embs(dets, n, img, H, W, embs, feat_dim, out);
+        } else if constexpr (has_step_embs<Core>::value) {
+            (void)img; (void)H; (void)W;
+            return core.step_embs(dets, n, embs, feat_dim, out);
+        } else {
+            return step_img(dets, n, img, H, W, out);
+        }
+    }
+    bool supports_embs() const override { return has_step_embs<Core>::value; }
     int capacity() const override { return core.capacity(); }
     int64_t next_track_id() const override { return core.next_track_id(); }
     int out_cols() const override {
@@ -275,6 +324,41 @@ int64_t bmt_tracker_update_masks(void* h, const float* dets, int64_t n,
     }
     return static_cast<TrackerHandle*>(h)->step_masks(dets, n, masks, mH, mW, fH,
                                                       fW, out, out_masks);
+}
+
+// As bmt_tracker_update plus per-detection appearance embeddings
+// (n x feat_dim float32, aligned row-for-row with dets); appearance-
+// capable cores fuse them into association and maintain their feature
+// banks, others ignore them — matching the device-tracker semantics
+// where motion-only trackers accept and ignore an embs input.
+int64_t bmt_tracker_update_embs(void* h, const float* dets, int64_t n,
+                                const float* embs, int64_t feat_dim,
+                                float* out) {
+    if (!h || (n > 0 && !dets) || !out || (n > 0 && feat_dim > 0 && !embs)) {
+        g_tracker_error = "bad args to bmt_tracker_update_embs";
+        return -1;
+    }
+    return static_cast<TrackerHandle*>(h)->step_embs(dets, n, embs, feat_dim, out);
+}
+
+// 1 if the core consumes embeddings in bmt_tracker_update_embs (has an
+// appearance path), 0 if it would ignore them, -1 on null handle.
+int bmt_tracker_supports_embs(void* h) {
+    return h ? (static_cast<TrackerHandle*>(h)->supports_embs() ? 1 : 0) : -1;
+}
+
+// Live path with both the BGR frame (camera-motion estimation) and
+// per-detection embeddings (appearance fusion).
+int64_t bmt_tracker_update_img_embs(void* h, const float* dets, int64_t n,
+                                    const uint8_t* img, int64_t H, int64_t W,
+                                    const float* embs, int64_t feat_dim,
+                                    float* out) {
+    if (!h || (n > 0 && !dets) || !out) {
+        g_tracker_error = "bad args to bmt_tracker_update_img_embs";
+        return -1;
+    }
+    return static_cast<TrackerHandle*>(h)->step_img_embs(dets, n, img, H, W,
+                                                         embs, feat_dim, out);
 }
 
 // As bmt_tracker_update plus the (H, W, 3) BGR uint8 frame; CMC-capable
