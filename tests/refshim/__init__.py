@@ -35,6 +35,7 @@ def stub_missing_modules(*names):
     level but only uses it in the tracklet-*generation* CLI path; the
     split/connect functions under differential test never touch it.
     """
+    import importlib.machinery
     import types
 
     for name in names:
@@ -47,6 +48,11 @@ def stub_missing_modules(*names):
         for i in range(len(parts)):
             mod_name = ".".join(parts[: i + 1])
             if mod_name not in sys.modules:
-                sys.modules[mod_name] = types.ModuleType(mod_name)
+                mod = types.ModuleType(mod_name)
+                # a real spec so later importlib.util.find_spec(mod_name)
+                # (e.g. transformers probing torchvision) doesn't raise
+                # "__spec__ is None"
+                mod.__spec__ = importlib.machinery.ModuleSpec(mod_name, None)
+                sys.modules[mod_name] = mod
             if i:
                 setattr(sys.modules[".".join(parts[:i])], parts[i], sys.modules[mod_name])
