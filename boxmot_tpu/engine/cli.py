@@ -443,7 +443,10 @@ def tune_kf(data, tracker, kf_type, dets, iou_threshold, per_class, out):
 @click.option("--backend", default="random", show_default=True,
               type=click.Choice(["random", "grid", "tpe"]),
               help="search strategy (tpe = optuna-style adaptive sampler)")
-def tune(data, tracker, n_trials, work_dir, seed, backend):
+@click.option("--n-workers", type=int, default=1, show_default=True,
+              help="concurrent trials per batch (the reference's Ray "
+                   "trial parallelism, tuner.py:216)")
+def tune(data, tracker, n_trials, work_dir, seed, backend, n_workers):
     """Tune tracker hyperparameters over cached replays."""
     from boxmot_tpu.engine.tuning import run_tune
     from boxmot_tpu.utils import reporters as rep
@@ -466,7 +469,8 @@ def tune(data, tracker, n_trials, work_dir, seed, backend):
         wp.finish_step(rep.SETUP)
         wp.start_step(rep.OPTIMIZE, detail=f"{backend} x{n_trials}")
         best = run_tune(data, tracker, n_trials=n_trials, work_dir=work_dir,
-                        seed=seed, backend=backend, trial_callback=_on_trial)
+                        seed=seed, backend=backend, trial_callback=_on_trial,
+                        n_workers=n_workers)
         wp.finish_step(rep.OPTIMIZE)
     if rep.want_rich():
         from rich.console import Console

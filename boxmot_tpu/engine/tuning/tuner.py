@@ -3,9 +3,13 @@
 TPU-native replacement for the reference Ray-Tune orchestration
 (boxmot/engine/tuning/tuner.py:169-733 + search_space.py:140): the
 objective replays cached detections through the jitted on-device replay
-— a full benchmark pass takes milliseconds once compiled — so trials
-run sequentially without any cluster machinery.  Search spaces come from
-the same per-tracker YAML specs that provide runtime defaults.
+— a full benchmark pass takes milliseconds once compiled — and trials
+run concurrently in suggestion-ordered batches (``n_workers``) without
+any cluster machinery: a thread pool is enough because distinct trial
+configs compile concurrently (XLA compilation releases the GIL), the
+device replays dispatch thread-safely, and the native cores release the
+GIL inside update.  Search spaces come from the same per-tracker YAML
+specs that provide runtime defaults.
 
 Supported samplers (search_space.py yaml_to_tune_space parity):
 uniform, loguniform, qrandint (quantized int range), choice, grid_search.
@@ -98,7 +102,10 @@ class Tuner:
             "IDF1": float(c["IDF1"]),
         }
 
-    def _run_trial(self, params: dict) -> None:
+    def _measure(self, params: dict) -> dict:
+        """Evaluate one config; returns an unindexed trial record.  Safe
+        to call concurrently: the device replay dispatches are thread-safe
+        and the native cores release the GIL inside update."""
         t0 = time.perf_counter()
         try:
             metrics = self._evaluate(params)
@@ -106,35 +113,32 @@ class Tuner:
             error = None
         except Exception as exc:  # failed trial is recorded, not fatal
             metrics, score, error = {}, float("-inf"), str(exc)
-        self.trials.append(
-            {
-                "index": len(self.trials),
-                "params": params,
-                "metrics": metrics,
-                "score": score,
-                "error": error,
-                "seconds": round(time.perf_counter() - t0, 2),
-            }
-        )
+        return {
+            "params": params,
+            "metrics": metrics,
+            "score": score,
+            "error": error,
+            "seconds": round(time.perf_counter() - t0, 2),
+        }
+
+    def _record(self, rec: dict) -> None:
+        rec["index"] = len(self.trials)
+        self.trials.append(rec)
         self._save()
         if self.trial_callback is not None:
-            self.trial_callback(self.trials[-1])
+            self.trial_callback(rec)
 
-    def fit(self, n_trials: int = 20, include_default: bool = True) -> dict:
-        """Run trials (resuming any persisted history); returns the best.
+    def _run_trial(self, params: dict) -> None:
+        self._record(self._measure(params))
 
-        The backend sees the accumulated history on every suggestion, so
-        adaptive strategies (tpe) exploit earlier trials — including ones
-        restored from a previous run.
-        """
-        done = {json.dumps(t["params"], sort_keys=True) for t in self.trials}
-        if include_default and not self.trials:
-            defaults = flatten_config(self.specs)
-            self._run_trial(defaults)
-            done.add(json.dumps(defaults, sort_keys=True))
-
-        stalls = 0
-        while len(self.trials) < n_trials and stalls < 50:
+    def _suggest_batch(self, want: int, done: set) -> list[dict]:
+        """Draw up to `want` fresh configs from the backend.  Suggestions
+        are drawn serially on the caller's thread (adaptive backends see
+        history up to the previous completed batch — the standard
+        batch-synchronous compromise, matching Ray Tune's concurrent
+        sampling; reference tuner.py:216)."""
+        batch, stalls = [], 0
+        while len(batch) < want and stalls < 50:
             params = self.backend.suggest(self.trials)
             if params is None:  # grid exhausted
                 break
@@ -149,7 +153,43 @@ class Tuner:
                     continue
             stalls = 0
             done.add(key)
-            self._run_trial(params)
+            batch.append(params)
+        return batch
+
+    def fit(
+        self, n_trials: int = 20, include_default: bool = True, n_workers: int = 1
+    ) -> dict:
+        """Run trials (resuming any persisted history); returns the best.
+
+        The backend sees the accumulated history on every suggestion, so
+        adaptive strategies (tpe) exploit earlier trials — including ones
+        restored from a previous run.  ``n_workers > 1`` evaluates trials
+        concurrently in batches (the reference parallelizes trials via
+        Ray, tuner.py:216,733); results are recorded in suggestion order,
+        so trials.json and resume behave identically to a serial run of
+        the same suggestion sequence.
+        """
+        done = {json.dumps(t["params"], sort_keys=True) for t in self.trials}
+        if include_default and not self.trials:
+            defaults = flatten_config(self.specs)
+            self._run_trial(defaults)
+            done.add(json.dumps(defaults, sort_keys=True))
+
+        n_workers = max(int(n_workers), 1)
+        while len(self.trials) < n_trials:
+            want = min(n_workers, n_trials - len(self.trials))
+            batch = self._suggest_batch(want, done)
+            if not batch:
+                break
+            if len(batch) == 1:
+                self._run_trial(batch[0])
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=len(batch)) as pool:
+                    recs = list(pool.map(self._measure, batch))
+                for rec in recs:  # suggestion order, deterministic
+                    self._record(rec)
         return self.best()
 
     def best(self) -> dict:
@@ -177,6 +217,7 @@ def run_tune(
     eval_kwargs: dict | None = None,
     backend: str = "random",
     trial_callback=None,
+    n_workers: int = 1,
 ) -> dict:
     tuner = Tuner(
         data_root,
@@ -188,7 +229,7 @@ def run_tune(
         backend=backend,
         trial_callback=trial_callback,
     )
-    best = tuner.fit(n_trials=n_trials)
+    best = tuner.fit(n_trials=n_trials, n_workers=n_workers)
     if work_dir:
         import yaml
 

@@ -72,6 +72,14 @@ def _bind(lib):
         ctypes.POINTER(ctypes.c_float),
     ]
     lib.bmt_tracker_supports_embs.argtypes = [ctypes.c_void_p]
+    lib.bmt_tracker_pending_rows.restype = ctypes.c_int64
+    lib.bmt_tracker_pending_rows.argtypes = [ctypes.c_void_p]
+    lib.bmt_tracker_flush_rows.restype = ctypes.c_int64
+    lib.bmt_tracker_flush_rows.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
     lib.bmt_tracker_update_masks.restype = ctypes.c_int64
     lib.bmt_tracker_update_masks.argtypes = [
         ctypes.c_void_p,
@@ -275,6 +283,18 @@ _NATIVE_KEYS = {
         "ams_threshold",
         "ams_buffer_size",
         "ams_shrink_ratio",
+        "with_reid",
+        "recovery_appearance_thresh",
+        "recovery_iou_thresh",
+        "recovery_max_age",
+        "feat_alpha",
+        "second_appearance_thresh",
+        "lambda_emb_multiplier",
+        "gta_enabled",
+        "gta_appearance_thresh",
+        "gta_min_track_length",
+        "gta_interpolate",
+        "gta_max_gap",
         "capacity",
     ) + _CMC_KEYS,
 }
@@ -331,6 +351,9 @@ class NativeTracker:
                 "boxmot_tpu.native.reid.NativeReID to compute them)"
             )
         params.pop("reid_model", None)
+        # host-side GP smoothing strength for flushed GTA gap rows
+        # (device OccluBoost.gta_smooth_tau; never serialized to the core)
+        self._gta_smooth_tau = float(params.pop("gta_smooth_tau", 5.0))
         if "with_reid" not in keys:
             # core has no appearance path: with_reid without a reid_model
             # downgrades to motion-only, the same gate the python trackers
@@ -537,6 +560,46 @@ class NativeTracker:
         if m < 0:
             raise RuntimeError(self._lib.bmt_tracker_last_error().decode())
         return self._out[:m].copy()
+
+    def flush_gta(self) -> np.ndarray:
+        """Gap-fill rows accumulated by the core's online GTA (the device
+        OccluBoost.flush_gta contract; raw rows come off
+        bmt_tracker_flush_rows, GP smoothing happens here on the host,
+        exactly like the device flush_gta_rows split)."""
+        from boxmot_tpu.trackers.occluboost import smooth_gap_rows
+
+        chunks = []
+        if self.per_class:
+            for cls_id, handle in sorted(self._class_handles.items()):
+                rows = self._flush_handle(handle)
+                if rows.shape[0]:
+                    # renumber raw core ids through the shared per-class
+                    # allocator, same as emitted track rows
+                    rows[:, 1] = self._pc_ids.remap(
+                        rows[:, 1] + cls_id * 1_000_000
+                    )
+                    chunks.append(rows)
+        else:
+            rows = self._flush_handle(self._handle)
+            if rows.shape[0]:
+                chunks.append(rows)
+        if not chunks:
+            return np.empty((0, 9))
+        return smooth_gap_rows(
+            np.concatenate(chunks, axis=0).astype(float), self._gta_smooth_tau
+        )
+
+    def _flush_handle(self, handle) -> np.ndarray:
+        n = self._lib.bmt_tracker_pending_rows(handle)
+        if n <= 0:
+            return np.empty((0, 9), np.float32)
+        buf = np.empty((n, 9), np.float32)
+        m = self._lib.bmt_tracker_flush_rows(
+            handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n
+        )
+        if m < 0:
+            raise RuntimeError(self._lib.bmt_tracker_last_error().decode())
+        return buf[:m]
 
     def reset(self):
         self._lib.bmt_tracker_reset(self._handle)

@@ -699,6 +699,13 @@ def flush_gta_rows(state: OccluBoostState, smooth_tau: float = 5.0) -> np.ndarra
     if n == 0:
         return np.empty((0, 9))
     rows = np.asarray(state.gap_rows)[: min(n, GAP_BUF)].astype(float)
+    return smooth_gap_rows(rows, smooth_tau)
+
+
+def smooth_gap_rows(rows: np.ndarray, smooth_tau: float = 5.0) -> np.ndarray:
+    """GP-smooth raw gap-fill rows (occluboost.py:707-760).  Shared by the
+    device flush and the native core flush (bmt_tracker_flush_rows), which
+    both emit raw [frame, id, x1, y1, x2, y2, conf, cls, -1] rows."""
     if smooth_tau > 0 and len(rows) >= 3:
         try:
             from sklearn.gaussian_process import GaussianProcessRegressor as GPR

@@ -65,6 +65,13 @@ struct has_step_embs<T, std::void_t<decltype(std::declval<T&>().step_embs(
                             static_cast<float*>(nullptr)))>> : std::true_type {};
 
 template <class T, class = void>
+struct has_flush_rows : std::false_type {};
+template <class T>
+struct has_flush_rows<T, std::void_t<decltype(std::declval<T&>().flush_rows(
+                             static_cast<float*>(nullptr), int64_t{0}))>>
+    : std::true_type {};
+
+template <class T, class = void>
 struct has_step_img_embs : std::false_type {};
 template <class T>
 struct has_step_img_embs<T,
@@ -91,6 +98,8 @@ struct TrackerHandle {
                                   const float* embs, int64_t feat_dim,
                                   float* out) = 0;
     virtual bool supports_embs() const = 0;
+    virtual int64_t pending_rows() const = 0;
+    virtual int64_t flush_rows(float* out, int64_t max_rows) = 0;
     virtual int capacity() const = 0;
     virtual int out_cols() const = 0;
     virtual int64_t next_track_id() const = 0;
@@ -145,6 +154,21 @@ struct HandleImpl final : TrackerHandle {
         }
     }
     bool supports_embs() const override { return has_step_embs<Core>::value; }
+    int64_t pending_rows() const override {
+        if constexpr (has_flush_rows<Core>::value) {
+            return core.pending_rows();
+        } else {
+            return 0;
+        }
+    }
+    int64_t flush_rows(float* out, int64_t max_rows) override {
+        if constexpr (has_flush_rows<Core>::value) {
+            return core.flush_rows(out, max_rows);
+        } else {
+            (void)out; (void)max_rows;
+            return 0;
+        }
+    }
     int capacity() const override { return core.capacity(); }
     int64_t next_track_id() const override { return core.next_track_id(); }
     int out_cols() const override {
@@ -371,6 +395,24 @@ int64_t bmt_tracker_update_img(void* h, const float* dets, int64_t n,
         return -1;
     }
     return static_cast<TrackerHandle*>(h)->step_img(dets, n, img, H, W, out);
+}
+
+// Deferred side-channel rows a core accumulated during tracking (the
+// flagship's GTA gap-interpolation rows, 9 floats each: [frame, id,
+// x1, y1, x2, y2, conf, cls, -1]).  pending reports how many are
+// buffered; flush copies up to max_rows into out and clears the buffer.
+// Cores without the capability report 0.  GP smoothing stays host-side
+// (device occluboost.flush_gta_rows split).
+int64_t bmt_tracker_pending_rows(void* h) {
+    return h ? static_cast<TrackerHandle*>(h)->pending_rows() : -1;
+}
+
+int64_t bmt_tracker_flush_rows(void* h, float* out, int64_t max_rows) {
+    if (!h || (max_rows > 0 && !out)) {
+        g_tracker_error = "bad args to bmt_tracker_flush_rows";
+        return -1;
+    }
+    return static_cast<TrackerHandle*>(h)->flush_rows(out, max_rows);
 }
 
 // Standalone ECC camera-motion estimator (ecc_cmc.hpp; mirrors

