@@ -570,7 +570,15 @@ def train(ctx, data, recipe, model, dataset, steps, lr, p, k, loss,
     help="Repo-relative file(s) the source proposer may edit "
     "(default: the tracker's step module).",
 )
-def research(data, tracker, n_candidates, work_dir, seed, edit_source, editable_files):
+@click.option(
+    "--proposer", default="ast", show_default=True,
+    type=click.Choice(["ast", "llm"]),
+    help="Source-candidate proposer: offline AST literal mutation, or an "
+    "LLM endpoint (BOXMOT_LLM_ENDPOINT / _MODEL / _API_KEY env; the "
+    "reference GEPA reflection LM, runner.py:712).",
+)
+def research(data, tracker, n_candidates, work_dir, seed, edit_source,
+             editable_files, proposer):
     """Iterative candidate-proposal research loop over a benchmark."""
     from boxmot_tpu.utils import reporters as rep
 
@@ -600,12 +608,14 @@ def research(data, tracker, n_candidates, work_dir, seed, edit_source, editable_
 
     if edit_source:
         from boxmot_tpu.engine.research import SourceResearchRunner
+        from boxmot_tpu.engine.research.candidates import create_proposer
 
         with reporter.start() as wp:
             wp.start_step(rep.PREPARE)
             runner = SourceResearchRunner(
                 data, tracker, editable_files=list(editable_files) or None,
                 work_dir=work_dir, seed=seed,
+                proposal_fn=create_proposer(proposer),
             )
             _wire_phases(wp, runner)
             summary = runner.run(n_candidates=n_candidates)

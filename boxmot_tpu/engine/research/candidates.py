@@ -24,11 +24,13 @@ import ast
 import difflib
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
 import tempfile
 from pathlib import Path
+from typing import Protocol
 
 import numpy as np
 import yaml
@@ -132,6 +134,150 @@ class _LiteralSites(ast.NodeVisitor):
             elif isinstance(stmt, ast.Assign):
                 self._add(stmt.value)
         self.generic_visit(node)
+
+
+class Proposer(Protocol):
+    """Source-candidate proposer contract (the role the reference GEPA
+    loop fills with a reflection LM, boxmot/engine/research/runner.py:52,712).
+
+    Called with the current-best candidate as ``{repo-relative path:
+    source text}``, structured ``feedback`` about the last round (or
+    None on the first call), and the loop's RNG; returns a new candidate
+    mapping.  Returning the input unchanged is a legal no-op.  Syntax
+    errors are survivable — the runner validates and records a failed
+    trial — but well-behaved proposers validate before returning.
+    """
+
+    def __call__(
+        self, candidate: dict[str, str], feedback, rng: np.random.Generator
+    ) -> dict[str, str]: ...  # pragma: no cover - typing protocol
+
+
+def create_proposer(spec: str = "ast", **kwargs) -> "Proposer":
+    """Proposer registry: ``ast`` (offline literal mutation, the default)
+    or ``llm`` (endpoint-backed reflection, reference runner.py:712)."""
+    if spec == "ast":
+        return ast_mutation_proposer(**kwargs)
+    if spec == "llm":
+        return llm_proposer(**kwargs)
+    raise ValueError(f"unknown proposer {spec!r} (expected 'ast' or 'llm')")
+
+
+def llm_proposer(
+    endpoint: str | None = None,
+    model: str | None = None,
+    api_key: str | None = None,
+    timeout: float = 120.0,
+    max_retries: int = 2,
+) -> "Proposer":
+    """LLM-backed source proposer (the reference GEPA reflection step,
+    boxmot/engine/research/runner.py:52,712).
+
+    Speaks the OpenAI-compatible chat-completions JSON dialect over
+    plain urllib (no SDK dependency).  Configuration falls back to env:
+    ``BOXMOT_LLM_ENDPOINT`` (e.g. http://host:port/v1/chat/completions),
+    ``BOXMOT_LLM_MODEL``, ``BOXMOT_LLM_API_KEY``.  The model receives
+    the editable sources in fenced blocks plus the last round's scores/
+    errors, and must reply with one fenced block per file it edits:
+
+        ```file=boxmot_tpu/trackers/bytetrack.py
+        <full new file text>
+        ```
+
+    Files the reply does not mention stay unchanged; replies that parse
+    to no valid edit (or fail syntax validation) leave the candidate
+    unchanged, which the runner records as a no-op rather than crashing
+    the loop.
+    """
+    import os
+
+    endpoint = endpoint or os.environ.get("BOXMOT_LLM_ENDPOINT")
+    model = model or os.environ.get("BOXMOT_LLM_MODEL", "gpt-4o-mini")
+    api_key = api_key or os.environ.get("BOXMOT_LLM_API_KEY")
+    if not endpoint:
+        raise ValueError(
+            "llm proposer needs an endpoint: pass endpoint= or set "
+            "BOXMOT_LLM_ENDPOINT"
+        )
+
+    def _chat(messages: list[dict]) -> str:
+        import json as _json
+        import urllib.request
+
+        body = _json.dumps(
+            {"model": model, "messages": messages, "temperature": 0.7}
+        ).encode()
+        headers = {"Content-Type": "application/json"}
+        if api_key:
+            headers["Authorization"] = f"Bearer {api_key}"
+        last_err = None
+        for _ in range(max_retries + 1):
+            try:
+                req = urllib.request.Request(endpoint, data=body, headers=headers)
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    payload = _json.loads(resp.read().decode())
+                return payload["choices"][0]["message"]["content"]
+            except Exception as exc:  # noqa: BLE001 - network boundary
+                last_err = exc
+        raise RuntimeError(f"llm endpoint failed after retries: {last_err}")
+
+    _FENCE = re.compile(
+        r"```(?:[a-zA-Z0-9_+-]*[:=\s])?file[:=]?\s*(?P<path>[^\n`]+)\n"
+        r"(?P<body>.*?)```",
+        re.DOTALL,
+    )
+    # also accept the bare ```python:path/to/file.py dialect
+    _FENCE_ALT = re.compile(
+        r"```[a-zA-Z0-9_+-]*[:=](?P<path>[^\n`]+\.py)\n(?P<body>.*?)```",
+        re.DOTALL,
+    )
+
+    def _parse_edits(reply: str, candidate: dict[str, str]) -> dict[str, str]:
+        edits: dict[str, str] = {}
+        for pat in (_FENCE, _FENCE_ALT):
+            for m in pat.finditer(reply):
+                path = m.group("path").strip()
+                if path in candidate:
+                    edits[path] = m.group("body")
+        return edits
+
+    def propose(candidate: dict[str, str], feedback, rng: np.random.Generator):
+        files = "\n\n".join(
+            f"```file={path}\n{text}```" for path, text in candidate.items()
+        )
+        fb = ""
+        if feedback:
+            fb = "\nLast round feedback (scores/errors):\n" + json.dumps(
+                feedback, indent=1, default=str
+            )
+        messages = [
+            {
+                "role": "system",
+                "content": (
+                    "You are improving a multi-object tracker. Edit the "
+                    "source files to raise HOTA without regressing IDF1/"
+                    "MOTA. Reply with one fenced block per edited file, "
+                    "opened as ```file=<repo-relative-path>, containing "
+                    "the FULL new file text. Keep edits small and valid "
+                    "Python."
+                ),
+            },
+            {"role": "user", "content": files + fb},
+        ]
+        try:
+            reply = _chat(messages)
+        except RuntimeError:
+            return dict(candidate)  # endpoint down: no-op round
+        edits = _parse_edits(reply, candidate)
+        if not edits:
+            return dict(candidate)
+        new = dict(candidate)
+        new.update(edits)
+        if validate_candidate({k: new[k] for k in edits}):
+            return dict(candidate)  # syntactically broken reply: no-op
+        return new
+
+    return propose
 
 
 def ast_mutation_proposer(scale: float = 0.3, max_sites: int = 3):

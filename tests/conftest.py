@@ -28,7 +28,30 @@ jax.config.update("jax_platforms", "cpu")
 # files and all xdist workers; a shared on-disk cache dedups those
 # compiles within a run and makes re-runs start warm.  Keyed by HLO
 # hash, so code changes invalidate entries automatically.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+# The cache is scoped per CPU microarchitecture: XLA:CPU AOT entries
+# embed the compile machine's feature set and fail to load elsewhere
+# ("Target machine feature +X is not supported on the host machine"),
+# so a cache produced on one runner must not poison another.
+import hashlib
+import platform
+
+
+def _machine_tag() -> str:
+    bits = [platform.machine(), platform.processor() or ""]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    bits.append(line.strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
+
+
+_CACHE_DIR = os.path.join(
+    os.path.dirname(__file__), ".jax_cache", _machine_tag()
+)
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
