@@ -95,6 +95,8 @@ class BaseTracker(VisualizationMixin):
         self._first_dets_processed = False
         self._first_frame_processed = False
 
+        # lost-track KF predictions from the latest update (show_kf_preds)
+        self._lost_display_rows: list = []
         # Device state: one pytree, or one per class when per_class.
         self._state = None
         self._per_class_states = {} if per_class else None
@@ -117,10 +119,22 @@ class BaseTracker(VisualizationMixin):
 
     def update(self, dets, img=None, embs=None, masks=None) -> TrackResults:
         dets, img = self._preprocess(dets, img)
+        self._lost_display_rows = []  # refilled by _run_class each frame
         raw = self._do_update(dets, img, embs, masks)
         results = TrackResults(raw)
         self._record_display(results, max_obs=getattr(self, "max_obs", 50))
         return results
+
+    def _lost_mask(self, state):
+        """Boolean (K,) mask of alive-but-unmatched slots.  Their `out`
+        rows carry the KF-predicted box for the current frame, which is
+        exactly what show_kf_preds overlays draw (reference lost-track
+        display, trackers/common/visualization.py:198,231 +
+        basetracker.py:518-521).  Trackers with bespoke status encodings
+        override this."""
+        if hasattr(state, "active") and hasattr(state, "tsu"):
+            return np.asarray(state.active) & (np.asarray(state.tsu) > 0)
+        return None
 
     def reset(self):
         self._state = None
@@ -251,9 +265,9 @@ class BaseTracker(VisualizationMixin):
             self._per_class_states[cls_id] = state
         self.frame_count += 1
 
-        out_np = np.asarray(out)
+        all_np = np.asarray(out)
         mask_np = np.asarray(out_mask)
-        out_np = out_np[mask_np]
+        out_np = all_np[mask_np]
         if track_ids:
             new_next = int(state.next_id) + self._id_emit_offset
             self._pc_ids.observe_created(prev_next, new_next)
@@ -261,4 +275,14 @@ class BaseTracker(VisualizationMixin):
                 id_col = self.layout.box_cols
                 out_np = out_np.copy()
                 out_np[:, id_col] = self._pc_ids.remap(out_np[:, id_col])
+        # lost-track KF predictions for show_kf_preds overlays
+        lm = self._lost_mask(state)
+        if lm is not None:
+            lost_sel = np.asarray(lm) & ~mask_np
+            if lost_sel.any():
+                lost_np = all_np[lost_sel].copy()
+                if track_ids:
+                    id_col = self.layout.box_cols
+                    lost_np[:, id_col] = self._pc_ids.remap(lost_np[:, id_col])
+                self._lost_display_rows.append(lost_np)
         return out_np

@@ -520,6 +520,10 @@ class BotSort(BaseTracker):
         self._pending = {"img": img, "embs": embs}
         return super().update(dets, img, embs, masks)
 
+    def _lost_mask(self, state):
+        # KF-predicted boxes of LOST slots feed show_kf_preds overlays
+        return np.asarray(state.status) == LOST
+
     def _step(self, state, dets_padded, det_valid):
         D = dets_padded.shape[0]
         B = 5 if self.cfg.is_obb else 4

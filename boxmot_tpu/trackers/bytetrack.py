@@ -343,5 +343,9 @@ class ByteTrack(BaseTracker):
     def _init_state(self):
         return init_state(self.cfg)
 
+    def _lost_mask(self, state):
+        # KF-predicted boxes of LOST slots feed show_kf_preds overlays
+        return np.asarray(state.status) == LOST
+
     def _step(self, state, dets_padded, det_valid):
         return bytetrack_step(self.cfg, state, dets_padded, det_valid)

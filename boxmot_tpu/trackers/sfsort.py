@@ -418,5 +418,10 @@ class SFSORT(BaseTracker):
     def _init_state(self):
         return init_state(self.cfg, margins=self._margins())
 
+    def _lost_mask(self, state):
+        # central + marginal lost slots (show_kf_preds overlays)
+        st = np.asarray(state.status)
+        return (st == LOST_CENTRAL) | (st == LOST_MARGINAL)
+
     def _step(self, state, dets_padded, det_valid):
         return sfsort_step(self.cfg, state, dets_padded, det_valid)

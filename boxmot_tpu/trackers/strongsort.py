@@ -329,6 +329,10 @@ class StrongSort(BaseTracker):
         self._pending = {"img": img, "embs": embs}
         return super().update(dets, img, embs, masks)
 
+    def _lost_mask(self, state):
+        # alive slots missed this frame (show_kf_preds overlays)
+        return (np.asarray(state.status) != EMPTY) & (np.asarray(state.tsu) > 0)
+
     def _step(self, state, dets_padded, det_valid):
         import jax.numpy as jnp
 

@@ -11,8 +11,12 @@ observation deques.  The tracker state here lives on device as struct-
 of-arrays, so BaseTracker records a small host-side display history
 (id -> deque of output boxes, maxlen 50) from each update()'s results;
 plot_results draws the most recent frame's tracks from that history.
-Lost-track "predicted" overlays (show_kf_preds) require per-tracker
-state introspection and are not drawn yet.
+Lost-track "predicted" overlays (show_kf_preds): each tracker's step
+already computes every slot's KF-predicted box into its (K, cols) out
+buffer, so BaseTracker slices the alive-but-unmatched slots
+(`_lost_mask`) out of it and plot_results draws them dashed (solid for
+OBB, matching the reference style rule,
+trackers/common/visualization.py:198,231).
 """
 
 from __future__ import annotations
@@ -138,7 +142,9 @@ class VisualizationMixin:
         fontscale: float = 0.5,
         show_kf_preds: bool = False,
     ) -> np.ndarray:
-        """Draw every track emitted by the most recent update()."""
+        """Draw every track emitted by the most recent update(); with
+        show_kf_preds, also the KF-predicted boxes of currently-lost
+        tracks (dashed AABB / solid OBB, reference visualization.py:198)."""
         history = getattr(self, "_display_history", {})
         current = getattr(self, "_display_current", ())
         for tid, box, conf, cls in current:
@@ -147,6 +153,26 @@ class VisualizationMixin:
             )
             if show_trajectories and tid in history:
                 img = self.plot_trackers_trajectories(img, history[tid], tid)
+        if show_kf_preds:
+            box_cols = 5 if getattr(self, "is_obb", False) else 4
+            for rows in getattr(self, "_lost_display_rows", ()):
+                for row in np.asarray(rows):
+                    tid = int(row[box_cols])
+                    img = self.plot_box_on_img(
+                        img,
+                        row[:box_cols],
+                        float(row[box_cols + 1]),
+                        int(row[box_cols + 2]),
+                        tid,
+                        thickness=thickness,
+                        fontscale=fontscale,
+                        state="predicted",
+                        style="dashed",
+                    )
+                    if show_trajectories and tid in history:
+                        img = self.plot_trackers_trajectories(
+                            img, history[tid], tid, state="predicted"
+                        )
         return img
 
     # -- history bookkeeping (called by BaseTracker.update) ------------
