@@ -111,6 +111,58 @@ def bench_cpp(name, dets_frames, warmup=5):
     return len(dets_frames) / dt
 
 
+def bench_fused(
+    tracker: str = "occluboost",
+    n_frames: int = 64,
+    imgsz=(800, 1440),
+    variant: str = "yolox_x",
+    reid_name: str | None = "osnet_x1_0",
+    max_dets: int = 128,
+):
+    """End-to-end fused live step (engine/fused.py): YOLOX forward +
+    decode + NMS + device crops + ReID embed + tracker step as ONE
+    program.  The frame is letterboxed once and staged on device, then
+    the program is dispatched n_frames times before ANY result is read
+    back — the tunnel-safe pattern (see docs/performance.md), so the
+    number is the on-device program rate, not the tunnel round-trip."""
+    import jax
+    import jax.numpy as jnp
+
+    from boxmot_tpu.detectors.registry import YoloXDetector
+    from boxmot_tpu.engine.fused import FusedLiveTracker
+
+    det = YoloXDetector(variant, imgsz=imgsz, num_classes=1, conf=0.05)
+    reid = None
+    if reid_name:
+        from boxmot_tpu.reid.core import ReID
+
+        reid = ReID(model_name=reid_name)
+    fused = FusedLiveTracker(
+        det, reid, tracker, {"use_cmc": False}, max_dets=max_dets
+    )
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, (1080, 1920, 3)).astype(np.uint8)
+    padded, r = det.preprocess(frame)
+    dev_frame = jax.device_put(jnp.asarray(padded))
+    scale = jnp.float32(r)
+    reid_vars = reid.variables if reid is not None else {}
+
+    state, out, mask = fused._program(
+        det.variables, reid_vars, fused._state, dev_frame, scale
+    )  # compile + warmup
+    jax.block_until_ready(out)
+    outs = []
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        state, out, mask = fused._program(
+            det.variables, reid_vars, state, dev_frame, scale
+        )
+        outs.append(out)
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    return n_frames / dt
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--trackers", default=",".join(DEFAULT_TRACKERS))
@@ -133,6 +185,29 @@ def main(argv=None):
     rng = np.random.default_rng(0)
 
     rows = []
+    if "fused" in modes:
+        # end-to-end fused live program (detector+reid+tracker, one
+        # dispatch); swept over detector size since that dominates
+        modes = [m for m in modes if m != "fused"]
+        for variant, reid_name in (
+            ("yolox_x", "osnet_x1_0"),  # the benchmark detector/reid class
+            ("yolox_s", "osnet_x0_25"),  # latency-tier config
+        ):
+            for trk in ("occluboost", "bytetrack"):
+                try:
+                    fps = bench_fused(
+                        trk, n_frames=args.frames, variant=variant,
+                        reid_name=None if trk == "bytetrack" else reid_name,
+                    )
+                except Exception as exc:
+                    print(f"fused {variant}+{trk}: FAILED {exc}")
+                    continue
+                row = {
+                    "tracker": trk, "mode": f"fused[{variant}]",
+                    "dets": 128, "fps": round(fps, 1),
+                }
+                rows.append(row)
+                print(json.dumps(row))
     for name in trackers:
         for count in counts:
             dets = _make_dets(count, rng, args.frames)

@@ -111,14 +111,26 @@ def _run(tracker: str, cache_root: Path, out: Path, **params) -> dict:
     return {k: float(res["combined"][k]) for k in ("HOTA", "MOTA", "IDF1")}
 
 
+# occluboost's default-config appearance terms don't flip any assignment
+# on this fixture (pass-1 fusion is rank-stable and recovery is gated at
+# 0.99); online GTA is where its appearance path visibly matters, and it
+# exercises the graveyard/resurrection machinery on both backends.
+EXTRA = {
+    "botsort": {},
+    "occluboost": {"gta_enabled": True, "max_age": 10, "gta_min_track_length": 3},
+}
+
+
 @pytest.mark.parametrize("tracker", ["botsort", "occluboost"])
 def test_emb_cache_cpp_matches_device(tracker, cache_root, tmp_path):
-    dev = _run(tracker, cache_root, tmp_path / "dev", feat_dim=DIM)
-    cpp = _run(f"{tracker}:cpp", cache_root, tmp_path / "cpp")
+    extra = EXTRA[tracker]
+    dev = _run(tracker, cache_root, tmp_path / "dev", feat_dim=DIM, **extra)
+    cpp = _run(f"{tracker}:cpp", cache_root, tmp_path / "cpp", **extra)
     for k in dev:
         assert abs(dev[k] - cpp[k]) <= 1e-4, (tracker, k, dev, cpp)
     # appearance must actually be on: motion-only rows differ
     motion = _run(
-        tracker, cache_root, tmp_path / "motion", feat_dim=DIM, with_reid=False
+        tracker, cache_root, tmp_path / "motion", feat_dim=DIM,
+        with_reid=False, **extra,
     )
     assert any(abs(dev[k] - motion[k]) > 1e-6 for k in dev), (dev, motion)
