@@ -41,13 +41,23 @@ def export_native_reid(
 
     BatchNorm (params scale/bias + batch_stats mean/var) folds into one
     affine pair a = scale/sqrt(var+eps), b = bias - mean*a; instance
-    norms keep their affine params and normalize at runtime.
+    norms keep their affine params and normalize at runtime.  Supported
+    families: OSNet variants and LMBN (lmbn_n / lmbn_ain_n — the
+    benchmark ReID; reference native serves it via ONNXRuntime,
+    reid_onnx.cpp:383).
     """
-    if model_name not in OSNET_VARIANTS:
+    is_lmbn = model_name in ("lmbn_n", "lmbn_ain_n")
+    if model_name not in OSNET_VARIANTS and not is_lmbn:
         raise ValueError(
-            f"native ReID export supports the OSNet family, not {model_name!r}"
+            "native ReID export supports the OSNet and LMBN families, "
+            f"not {model_name!r}"
         )
-    model = build_osnet(model_name)
+    if is_lmbn:
+        from boxmot_tpu.models.lmbn import build_lmbn
+
+        model = build_lmbn(model_name)
+    else:
+        model = build_osnet(model_name)
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -61,10 +71,11 @@ def export_native_reid(
         if name.endswith("/mean"):
             bn_prefixes.add(name[: -len("/mean")])
     for prefix in bn_prefixes:
-        scale = params[f"{prefix}/scale"].astype(np.float64)
-        bias = params[f"{prefix}/bias"].astype(np.float64)
         mean = stats[f"{prefix}/mean"].astype(np.float64)
         var = stats[f"{prefix}/var"].astype(np.float64)
+        # BNNeck BatchNorms freeze the bias at 0 (use_bias=False)
+        scale = params.get(f"{prefix}/scale", np.ones_like(mean)).astype(np.float64)
+        bias = params.get(f"{prefix}/bias", np.zeros_like(mean)).astype(np.float64)
         a = scale / np.sqrt(var + _BN_EPS)
         tensors[f"{prefix}/a"] = a.astype(np.float32)
         tensors[f"{prefix}/b"] = (bias - mean * a).astype(np.float32)
@@ -75,17 +86,30 @@ def export_native_reid(
         tensors[name] = arr.astype(np.float32)
 
     blob = bytearray()
-    lines = [
-        "bmtnn 1",
-        "arch osnet",
-        f"channels {','.join(map(str, model.channels))}",
-        f"blocks {','.join(map(str, model.blocks))}",
-        f"feature_dim {model.feature_dim}",
-        "block_types " + ";".join(",".join(b) for b in model.block_types),
-        f"conv1_in {int(model.conv1_in)}",
-        f"ibn {int(model.ibn)}",
-        f"crop {crop_hw[0]} {crop_hw[1]}",
-    ]
+    if is_lmbn:
+        lines = [
+            "bmtnn 1",
+            "arch lmbn",
+            f"channels {','.join(map(str, model.channels))}",
+            "blocks 2,2,2",  # osnet x1_0 trunk layout (unused by lmbn fwd)
+            f"feature_dim {model.feature_dim}",
+            f"ain {int(model.ain)}",
+            "conv1_in 0",
+            "ibn 0",
+            f"crop {crop_hw[0]} {crop_hw[1]}",
+        ]
+    else:
+        lines = [
+            "bmtnn 1",
+            "arch osnet",
+            f"channels {','.join(map(str, model.channels))}",
+            f"blocks {','.join(map(str, model.blocks))}",
+            f"feature_dim {model.feature_dim}",
+            "block_types " + ";".join(",".join(b) for b in model.block_types),
+            f"conv1_in {int(model.conv1_in)}",
+            f"ibn {int(model.ibn)}",
+            f"crop {crop_hw[0]} {crop_hw[1]}",
+        ]
     for name in sorted(tensors):
         arr = np.ascontiguousarray(tensors[name], np.float32)
         offset = len(blob) // 4

@@ -88,6 +88,10 @@ class ReidNet {
                     while (std::getline(sb, t, ',')) types.push_back(t);
                     block_types_.push_back(types);
                 }
+            } else if (key == "arch") {
+                ss >> arch_;
+            } else if (key == "ain") {
+                ss >> ain_;
             } else if (key == "conv1_in") {
                 ss >> conv1_in_;
             } else if (key == "ibn") {
@@ -165,6 +169,10 @@ class ReidNet {
 
     // standardized crop -> L2-normalized embedding (feature_dim,)
     void forward(const FMap& crop, float* out_feat) const {
+        if (arch_ == "lmbn") {
+            forward_lmbn(crop, out_feat);
+            return;
+        }
         FMap x = crop, tmp;
         // stem: conv1 (7x7/2) + norm + relu, then 3x3/2 maxpool
         conv(x, tmp, "conv1/conv/kernel", 2, 3, 1, nullptr);
@@ -225,6 +233,141 @@ class ReidNet {
     }
 
   private:
+    // LMBN_n / LMBN_ain_n forward (boxmot_tpu/models/lmbn.py LMBN;
+    // reference boxmot/reid/backbones/lmbn/lmbn_n.py:14-145): OSNet
+    // x1.0 trunk shared through conv3_0, three branch copies of the
+    // remaining stages, 7 BNNeck'd heads stacked channel-major into a
+    // (512*7,) embedding.
+    void forward_lmbn(const FMap& crop, float* out_feat) const {
+        const bool ain = ain_ != 0;
+        FMap x = crop, tmp;
+        // shared trunk
+        conv(x, tmp, "conv1/conv/kernel", 2, 3, 1, nullptr);
+        if (ain) inorm(tmp, "conv1/in");
+        else affine(tmp, "conv1/bn");
+        relu(tmp);
+        maxpool3x3s2p1(tmp, x);
+        os_block(x, "conv2_0", channels_[1], ain, false);
+        os_block(x, "conv2_1", channels_[1], ain, false);
+        conv(x, tmp, "transition2/conv/kernel", 1, 0, 1, nullptr);
+        affine(tmp, "transition2/bn");
+        relu(tmp);
+        avgpool2x2s2(tmp, x);
+        os_block(x, "conv3_0", channels_[2], false, false);
+
+        // branches (conv3_1 + transition3 + conv4_0 + conv4_1 + conv5);
+        // AIN block pattern: conv3_1/conv4_0 use the IN-inside variant
+        FMap glo = lmbn_branch(x, "global_branch", ain);
+        FMap par = lmbn_branch(x, "partial_branch", ain);
+        FMap cha = lmbn_branch(x, "channel_branch", ain);
+        // Top-DB drop bottleneck; drop is train-only so glo_drop == glo
+        os_block(glo, "drop_bottleneck", 512, false, false);
+
+        // pooled heads
+        std::vector<float> f[7];
+        f[0] = bnneck3(gavg(glo, 0, glo.h), "reduction_0");
+        f[1] = bnneck3(gmax(glo), "reduction_4");
+        f[2] = bnneck3(gmax(par), "reduction_1");
+        f[3] = bnneck3(gavg(par, 0, par.h / 2), "reduction_2");
+        f[4] = bnneck3(gavg(par, par.h / 2, par.h), "reduction_3");
+        // channel branch: pooled 512 split in half, shared 1x1 + BN + relu
+        std::vector<float> c = gavg(cha, 0, cha.h);
+        const int half = static_cast<int>(c.size()) / 2;
+        f[5] = lmbn_channel_head(c.data(), half, "reduction_ch_0");
+        f[6] = lmbn_channel_head(c.data() + half, half, "reduction_ch_1");
+
+        // stack(dim=2).flatten: channel-major interleave (lmbn_n.py:128-132)
+        const int C = 512;
+        double norm = 0.0;
+        for (int ch = 0; ch < C; ++ch)
+            for (int k = 0; k < 7; ++k) {
+                float v = f[k][static_cast<size_t>(ch)];
+                out_feat[ch * 7 + k] = v;
+                norm += static_cast<double>(v) * v;
+            }
+        float inv = static_cast<float>(1.0 / std::max(std::sqrt(norm), 1e-12));
+        for (int i = 0; i < C * 7; ++i) out_feat[i] *= inv;
+    }
+
+    FMap lmbn_branch(const FMap& shared, const std::string& prefix, bool ain) const {
+        FMap x = shared, tmp;
+        os_block(x, prefix + "/conv3_1", channels_[2], ain, false);
+        conv(x, tmp, prefix + "/transition3/conv/kernel", 1, 0, 1, nullptr);
+        affine(tmp, prefix + "/transition3/bn");
+        relu(tmp);
+        avgpool2x2s2(tmp, x);
+        os_block(x, prefix + "/conv4_0", channels_[3], ain, false);
+        os_block(x, prefix + "/conv4_1", channels_[3], false, false);
+        conv(x, tmp, prefix + "/conv5/conv/kernel", 1, 0, 1, nullptr);
+        affine(tmp, prefix + "/conv5/bn");
+        relu(tmp);
+        return tmp;
+    }
+
+    // spatial mean over rows [y0, y1)
+    static std::vector<float> gavg(const FMap& x, int y0, int y1) {
+        std::vector<float> out(static_cast<size_t>(x.c), 0.0f);
+        for (int y = y0; y < y1; ++y)
+            for (int xx = 0; xx < x.w; ++xx) {
+                const float* p = x.at(y, xx);
+                for (int c = 0; c < x.c; ++c) out[static_cast<size_t>(c)] += p[c];
+            }
+        float inv = 1.0f / static_cast<float>(std::max((y1 - y0) * x.w, 1));
+        for (float& v : out) v *= inv;
+        return out;
+    }
+
+    static std::vector<float> gmax(const FMap& x) {
+        std::vector<float> out(
+            static_cast<size_t>(x.c), -std::numeric_limits<float>::infinity());
+        for (int y = 0; y < x.h; ++y)
+            for (int xx = 0; xx < x.w; ++xx) {
+                const float* p = x.at(y, xx);
+                for (int c = 0; c < x.c; ++c)
+                    out[static_cast<size_t>(c)] = std::max(out[static_cast<size_t>(c)], p[c]);
+            }
+        return out;
+    }
+
+    // BNNeck3 (models/lmbn.py): bias-free Dense to 512 + folded BN
+    std::vector<float> bnneck3(const std::vector<float>& v, const std::string& prefix) const {
+        const NamedTensor& k = get(prefix + "/reduction/kernel");  // (in, 512)
+        const NamedTensor& a = get(prefix + "/bn/a");
+        const NamedTensor& b = get(prefix + "/bn/b");
+        const int in_dim = k.shape[0], out_dim = k.shape[1];
+        std::vector<float> out(static_cast<size_t>(out_dim), 0.0f);
+        for (int ci = 0; ci < in_dim; ++ci) {
+            float vv = v[static_cast<size_t>(ci)];
+            const float* kp = k.data + static_cast<int64_t>(ci) * out_dim;
+            for (int o = 0; o < out_dim; ++o) out[static_cast<size_t>(o)] += vv * kp[o];
+        }
+        for (int o = 0; o < out_dim; ++o)
+            out[static_cast<size_t>(o)] = out[static_cast<size_t>(o)] * a.data[o] + b.data[o];
+        return out;
+    }
+
+    // channel-branch head: shared fc (half -> 512) + shared BN + relu,
+    // then the per-head BN-only neck (BNNeckBN)
+    std::vector<float> lmbn_channel_head(const float* v, int in_dim,
+                                         const std::string& neck) const {
+        const NamedTensor& k = get("shared_fc/kernel");  // (half, 512)
+        const NamedTensor& a = get("shared_bn/a");
+        const NamedTensor& b = get("shared_bn/b");
+        const int out_dim = k.shape[1];
+        std::vector<float> out(static_cast<size_t>(out_dim), 0.0f);
+        for (int ci = 0; ci < in_dim; ++ci) {
+            const float* kp = k.data + static_cast<int64_t>(ci) * out_dim;
+            for (int o = 0; o < out_dim; ++o) out[static_cast<size_t>(o)] += v[ci] * kp[o];
+        }
+        const NamedTensor& na = get(neck + "/bn/a");
+        const NamedTensor& nb = get(neck + "/bn/b");
+        for (int o = 0; o < out_dim; ++o) {
+            float vv = std::max(out[static_cast<size_t>(o)] * a.data[o] + b.data[o], 0.0f);
+            out[static_cast<size_t>(o)] = vv * na.data[o] + nb.data[o];
+        }
+        return out;
+    }
+
     static std::vector<int> parse_ints(const std::string& s) {
         std::vector<int> out;
         std::istringstream ss(s);
@@ -431,6 +574,8 @@ class ReidNet {
 
     std::vector<int> channels_, blocks_;
     std::vector<std::vector<std::string>> block_types_;
+    std::string arch_ = "osnet";
+    int ain_ = 0;
     int feature_dim_ = 0;
     int conv1_in_ = 0, ibn_ = 0;
     int crop_h_ = 256, crop_w_ = 128;
