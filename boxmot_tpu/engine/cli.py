@@ -663,7 +663,7 @@ def research(data, tracker, n_candidates, work_dir, seed, edit_source,
 @click.option("--weights", default=None, help="torchreid checkpoint to convert (optional)")
 @click.option("--model", default="osnet_x0_25", show_default=True)
 @click.option("--include", default="tflite", show_default=True,
-              help="comma list: checkpoint,torch,saved_model,tflite")
+              help="comma list: checkpoint,torch,saved_model,tflite,onnx")
 @click.option("--out-dir", type=click.Path(), default="exports", show_default=True)
 @click.option("--imgsz", default="256,128", show_default=True, help="crop H,W")
 @click.option("--int8", is_flag=True, help="TFLite dynamic-range quantization")
@@ -699,6 +699,17 @@ def export(weights, model, include, out_dir, imgsz, int8, do_verify):
                 path = ex.export_torch_state_dict(reid.variables, out / f"{stem}.pt")
             elif target == "saved_model":
                 path = ex.export_saved_model(reid.model, reid.variables, out / f"{stem}_saved", hw=hw)
+            elif target == "onnx":
+                path = ex.export_onnx(reid.model, reid.variables, out / f"{stem}.onnx", hw=hw)
+                if do_verify:
+                    import numpy as np
+                    rng = np.random.default_rng(0)
+                    x = rng.uniform(-1, 1, (1, hw[0], hw[1], 3)).astype(np.float32)
+                    ref = np.asarray(reid.model.apply(reid.variables, x, train=False))
+                    got = ex.run_onnx_export(path, x)
+                    verify_notes.append(
+                        f"onnx max |diff| vs flax: {float(np.abs(ref - got).max()):.2e}"
+                    )
             elif target == "tflite":
                 path = ex.export_tflite(
                     reid.model, reid.variables, out / f"{stem}.tflite", hw=hw, quantize="dynamic" if int8 else None
@@ -709,7 +720,7 @@ def export(weights, model, include, out_dir, imgsz, int8, do_verify):
             else:
                 raise click.ClickException(
                     f"unknown export target {target!r}; "
-                    "choose from checkpoint,torch,saved_model,tflite"
+                    "choose from checkpoint,torch,saved_model,tflite,onnx"
                 )
             artifacts[target] = str(path)
             wp.advance("targets", i + 1, len(targets))

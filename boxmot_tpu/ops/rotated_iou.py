@@ -15,6 +15,7 @@ zero-length edges, so correctness is preserved with static shapes.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from boxmot_tpu.ops import geometry
@@ -133,12 +134,34 @@ def rect_intersection_area(obbs1, obbs2):
     return _shoelace_area(verts, nonempty)
 
 
+# Above this many pairs the doubling clip's (N, M, S, 2) HBM temps both
+# dominate the runtime and eventually stop fitting (4096 x 4096 needs
+# ~20 GB of temps on a 16 GB v5e); the tiled Pallas kernel
+# (ops/pallas_rotated_iou.py) keeps every clip stage in VMEM.  Measured
+# crossover on a v5e: jnp wins at 1024^2 (52 vs 91 ms/call), Pallas wins
+# from 2048^2 (70 vs 149 ms) and is the only path that runs at >= 4096^2.
+_PALLAS_MIN_PAIRS = 1 << 21
+
+
 def iou_batch_obb(obbs1, obbs2):
     """Pairwise rotated IoU.  Mirrors _iou_obb_matrix semantics
     (iou.py:38-116) without the host loop: inter / (a1 + a2 - inter).
+
+    Large (unbatched) problems route to the VMEM-tiled Pallas kernel on
+    TPU; tracker-capacity problems and vmapped calls keep the XLA-fused
+    formulation below.
     """
     obbs1 = jnp.asarray(obbs1)[..., :5]
     obbs2 = jnp.asarray(obbs2)[..., :5]
+    if (
+        obbs1.ndim == 2
+        and obbs2.ndim == 2
+        and obbs1.shape[0] * obbs2.shape[0] >= _PALLAS_MIN_PAIRS
+        and jax.default_backend() == "tpu"
+    ):
+        from boxmot_tpu.ops.pallas_rotated_iou import rotated_iou_pallas
+
+        return rotated_iou_pallas(obbs1, obbs2)
     inter = rect_intersection_area(obbs1, obbs2)
     a1 = obbs1[:, 2] * obbs1[:, 3]
     a2 = obbs2[:, 2] * obbs2[:, 3]

@@ -7,7 +7,9 @@ torchscript / onnx / openvino / tensorrt / tflite) for Flax models:
   * torch state dict — torchreid-compatible .pt via models.convert
   * SavedModel / TFLite — through jax2tf, with optional dynamic-range or
     int8 quantization (the reference tflite path, tflite_exporter.py)
-  * onnx            — gated: no onnx toolchain in this environment
+  * onnx            — opset-17 ModelProto via the in-repo jaxpr
+    translator (boxmot_tpu/onnxlite), verified by an independent
+    evaluator (onnxruntime when importable, onnxlite.run_onnx here)
 
 Every export path has a parity verifier mirroring the reference's
 exported-vs-source output check (engine/reid/export.py:260-270).
@@ -107,12 +109,45 @@ def export_tflite(
     return path
 
 
-def export_onnx(*args, **kwargs):
-    raise ImportError(
-        "onnx export requires the onnx toolchain, which is not available in "
-        "this environment; use export_tflite / export_saved_model / "
-        "export_torch_state_dict instead"
+def export_onnx(model, variables, path: Path, hw=(256, 128), batch: int = 1) -> Path:
+    """ONNX (opset 17) via the in-repo jaxpr translator.
+
+    The reference exports through torch.onnx
+    (boxmot/reid/exporters/onnx_exporter.py:18-87); neither torch.onnx
+    (flax models) nor the onnx package applies here, so onnxlite
+    traces the flax forward to a jaxpr and serializes the ModelProto
+    itself.  Shapes are static at the given batch size; input/output
+    names match the reference's ("images" / "features")."""
+    import jax.numpy as jnp
+
+    from boxmot_tpu.onnxlite import export_fn_to_onnx
+
+    x = jnp.zeros((batch, hw[0], hw[1], 3), jnp.float32)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    export_fn_to_onnx(
+        lambda inp: model.apply(variables, inp, train=False),
+        [x],
+        path,
+        input_names=["images"],
+        output_names=["features"],
+        graph_name=f"boxmot_tpu_{path.stem}",
     )
+    return path
+
+
+def run_onnx_export(path: Path, x: np.ndarray) -> np.ndarray:
+    """Execute an exported .onnx: onnxruntime when importable, the
+    in-repo onnxlite evaluator otherwise."""
+    try:
+        import onnxruntime as ort
+
+        sess = ort.InferenceSession(str(path), providers=["CPUExecutionProvider"])
+        return sess.run(None, {"images": np.asarray(x, np.float32)})[0]
+    except ImportError:
+        from boxmot_tpu.onnxlite import run_onnx
+
+        return run_onnx(path, [np.asarray(x, np.float32)])[0]
 
 
 def run_tflite(path: Path, x: np.ndarray) -> np.ndarray:
@@ -170,6 +205,20 @@ def run_export(
             info["path"] = export_saved_model(
                 reid.model, reid.variables, out / f"{stem}_saved", hw=hw
             )
+        elif target == "onnx":
+            info["path"] = export_onnx(
+                reid.model, reid.variables, out / f"{stem}.onnx", hw=hw
+            )
+            if verify:
+                rng = np.random.default_rng(0)
+                x = rng.uniform(-1, 1, (1, hw[0], hw[1], 3)).astype(np.float32)
+                ref = np.asarray(reid.model.apply(reid.variables, x, train=False))
+                got = run_onnx_export(info["path"], x)
+                info["max_dev"] = float(np.abs(ref - got).max())
+                if info["max_dev"] > 5e-3:
+                    raise AssertionError(
+                        f"onnx export parity failure: {info['max_dev']}"
+                    )
         elif target == "tflite":
             info["path"] = export_tflite(
                 reid.model, reid.variables, out / f"{stem}.tflite", hw=hw,
@@ -182,7 +231,7 @@ def run_export(
         else:
             raise ValueError(
                 f"unknown export target {target!r}; choose from "
-                "checkpoint,torch,saved_model,tflite"
+                "checkpoint,torch,saved_model,tflite,onnx"
             )
         results[target] = info
     from boxmot_tpu.engine.results import ExportResult
