@@ -215,6 +215,39 @@ class PromptLearner(nn.Module):
         )
 
 
+def pretrained_prompt_template(
+    token_embedding,
+    template: str = "A photo of a X X X X person.",
+    n_cls_ctx: int = 4,
+):
+    """Embed the CLIP-ReID prompt template with pretrained token embeddings.
+
+    Tokenizes the template with the real BPE tokenizer and splits the
+    embedded sequence around the per-identity context slots exactly like
+    the reference PromptLearner (make_model_clipreid.py:244-261:
+    token_prefix = embedding[:n_ctx+1], token_suffix =
+    embedding[n_ctx+1+n_cls_ctx:]).  Padding rows past EOT are dropped —
+    under causal attention they never influence the EOT output the text
+    encoder projects.
+
+    Returns (prefix (n_prefix, width), suffix (n_suffix, width),
+    eot_index) as numpy arrays for initializing PromptLearner params.
+    """
+    import numpy as np
+
+    from boxmot_tpu.models.clip_tokenizer import tokenize
+
+    ids = tokenize(template)[0]
+    eot = int(ids.argmax())  # EOT has the largest id in the vocab
+    emb = np.asarray(token_embedding, np.float32)[ids[: eot + 1]]
+    n_prefix = 1 + 4  # SOT + "a photo of a"
+    return (
+        emb[:n_prefix],
+        emb[n_prefix + n_cls_ctx :],
+        eot,
+    )
+
+
 def clip_prompt_losses(image_feats, text_feats, labels, temperature: float = 0.07):
     """Symmetric supervised contrastive i2t + t2i objective (CLIP-ReID
     stage 1, SupConLoss over both directions).  Rows of `text_feats`

@@ -116,6 +116,8 @@ def convert_checkpoint(path_or_dict, model_name: str):
         return convert_osnet(path_or_dict, ibn=True)
     if model_name.startswith("osnet"):
         return convert_osnet(path_or_dict)
+    if model_name.startswith("clip"):
+        return convert_clip(path_or_dict)["visual"]
     raise ValueError(
         f"no checkpoint converter for {model_name!r}; convert the weights "
         "offline or train with boxmot_tpu.reid.training"
@@ -211,6 +213,173 @@ def _finish(m, sd):
     if unused:
         raise ValueError(f"unmapped checkpoint keys: {unused[:8]}...")
     return {"params": m.params, "batch_stats": m.batch_stats}
+
+
+# ---------------------------------------------------------------------------
+# CLIP (ViT text + visual towers)
+# ---------------------------------------------------------------------------
+
+
+def _resize_clip_pos_embed(pos, gh, gw):
+    """Bilinear-resample a ViT positional embedding grid to (gh, gw).
+
+    Same semantics as the reference's resize_pos_embed
+    (clip/model.py:567-586: CLS row kept, square grid F.interpolate'd
+    bilinearly, align_corners=False) so converted OpenAI weights match.
+    """
+    import jax
+
+    pos = np.asarray(pos, np.float32)
+    cls_row, grid = pos[:1], pos[1:]
+    gs = round(len(grid) ** 0.5)
+    if gs * gs != len(grid):
+        raise ValueError(f"non-square source grid: {len(grid)} positions")
+    if (gs, gs) != (gh, gw):
+        grid = np.asarray(
+            jax.image.resize(
+                grid.reshape(gs, gs, -1), (gh, gw, grid.shape[-1]), "bilinear"
+            )
+        )
+    return np.concatenate([cls_row, grid.reshape(gh * gw, -1)], axis=0)
+
+
+def _convert_clip_blocks(m, prefix, fdst, n_layers):
+    """Map transformer.resblocks.{i} (torch) -> resblock{i} (flax)."""
+    for i in range(n_layers):
+        tb = f"{prefix}transformer.resblocks.{i}"
+        fb = (*fdst, f"resblock{i}")
+        for ln in ("ln_1", "ln_2"):
+            for name, dst in (("weight", "scale"), ("bias", "bias")):
+                m.used.add(f"{tb}.{ln}.{name}")
+                _set(m.params, (*fb, ln, dst), m.sd[f"{tb}.{ln}.{name}"])
+        m.used.add(f"{tb}.attn.in_proj_weight")
+        m.used.add(f"{tb}.attn.in_proj_bias")
+        _set(m.params, (*fb, "qkv", "kernel"), m.sd[f"{tb}.attn.in_proj_weight"].T)
+        _set(m.params, (*fb, "qkv", "bias"), m.sd[f"{tb}.attn.in_proj_bias"])
+        m.dense(f"{tb}.attn.out_proj", (*fb, "out_proj"))
+        m.dense(f"{tb}.mlp.c_fc", (*fb, "c_fc"))
+        m.dense(f"{tb}.mlp.c_proj", (*fb, "c_proj"))
+
+
+def convert_clip(path_or_dict, h_grid: int = 16, w_grid: int = 8):
+    """Convert an OpenAI CLIP (or CLIP-ReID fine-tune) checkpoint.
+
+    Replaces the reference's clip.build_model load path
+    (boxmot/reid/backbones/clip/clip/model.py:471-561): infers tower
+    sizes from the state dict, resamples the visual positional
+    embedding to the ReID patch grid (default 16 x 8 for 256 x 128
+    stride-16), and returns::
+
+        {
+          "visual": {params, batch_stats}   # for models.clip_reid.ClipReID
+          "text":   {params}                # for ClipTextEncoder(context=77)
+          "token_embedding": (vocab, width) # drives PromptLearner init
+          "logit_scale": float,
+          "prompt_cls_ctx": (num_cls, n_ctx, width) | None,  # fine-tunes
+        }
+
+    Accepts raw OpenAI full-CLIP key naming (visual.* / transformer.*)
+    and CLIP-ReID build_transformer naming (image_encoder.* +
+    bottleneck.* + prompt_learner.*, make_model_clipreid.py:101-130).
+    """
+    sd = load_state_dict(path_or_dict)
+    # CLIP-ReID fine-tune naming -> OpenAI naming
+    renamed = {}
+    for k, v in sd.items():
+        k = k.removeprefix("text_encoder.")
+        if k.startswith("image_encoder."):
+            k = "visual." + k.removeprefix("image_encoder.")
+        renamed[k] = v
+    sd = renamed
+    for meta in ("input_resolution", "context_length", "vocab_size"):
+        sd.pop(meta, None)
+
+    if "visual.proj" not in sd:
+        raise ValueError("only ViT CLIP checkpoints are supported (no RN50)")
+    v_layers = len(
+        {k.split(".")[3] for k in sd if k.startswith("visual.transformer.resblocks")}
+    )
+    t_layers = len(
+        {k.split(".")[2] for k in sd if k.startswith("transformer.resblocks")}
+    )
+
+    m = _Mapper(sd)
+    # -- visual tower ------------------------------------------------------
+    m.conv("visual.conv1", ("conv1",))
+    for key, dst in (
+        ("visual.class_embedding", "class_embedding"),
+        ("visual.proj", "proj"),
+    ):
+        m.used.add(key)
+        _set(m.params, (dst,), sd[key])
+    m.used.add("visual.positional_embedding")
+    _set(
+        m.params,
+        ("positional_embedding",),
+        _resize_clip_pos_embed(sd["visual.positional_embedding"], h_grid, w_grid),
+    )
+    for ln in ("ln_pre", "ln_post"):
+        for name, dst in (("weight", "scale"), ("bias", "bias")):
+            m.used.add(f"visual.{ln}.{name}")
+            _set(m.params, (ln, dst), sd[f"visual.{ln}.{name}"])
+    _convert_clip_blocks(m, "visual.", (), v_layers)
+    width = sd["visual.proj"].shape[0]
+    proj_dim = sd["visual.proj"].shape[1]
+    # BNNeck bottlenecks: present in CLIP-ReID fine-tunes, fresh otherwise
+    for neck, dim in (("bottleneck", width), ("bottleneck_proj", proj_dim)):
+        if f"{neck}.weight" in sd:
+            m.used.add(f"{neck}.weight")
+            _set(m.params, (neck, "scale"), sd[f"{neck}.weight"])
+            for name, dst in (("running_mean", "mean"), ("running_var", "var")):
+                m.used.add(f"{neck}.{name}")
+                _set(m.batch_stats, (neck, dst), sd[f"{neck}.{name}"])
+            m.used.add(f"{neck}.bias")  # zeros; flax neck is bias-free
+        else:
+            _set(m.params, (neck, "scale"), np.ones(dim, np.float32))
+            _set(m.batch_stats, (neck, "mean"), np.zeros(dim, np.float32))
+            _set(m.batch_stats, (neck, "var"), np.ones(dim, np.float32))
+    visual = {"params": m.params, "batch_stats": m.batch_stats}
+
+    # -- text tower --------------------------------------------------------
+    mt = _Mapper(sd)
+    mt.used = m.used  # shared consumption ledger
+    _convert_clip_blocks(mt, "", (), t_layers)
+    for key, dst in (
+        ("positional_embedding", "positional_embedding"),
+        ("text_projection", "text_projection"),
+    ):
+        mt.used.add(key)
+        _set(mt.params, (dst,), sd[key])
+    for name, dst in (("weight", "scale"), ("bias", "bias")):
+        mt.used.add(f"ln_final.{name}")
+        _set(mt.params, ("ln_final", dst), sd[f"ln_final.{name}"])
+
+    mt.used.add("token_embedding.weight")
+    mt.used.add("logit_scale")
+    out = {
+        "visual": visual,
+        "text": {"params": mt.params},
+        "token_embedding": np.asarray(sd["token_embedding.weight"], np.float32),
+        "logit_scale": float(np.asarray(sd.get("logit_scale", 0.0))),
+        "prompt_cls_ctx": None,
+    }
+    if "prompt_learner.cls_ctx" in sd:
+        mt.used.add("prompt_learner.cls_ctx")
+        out["prompt_cls_ctx"] = np.asarray(sd["prompt_learner.cls_ctx"], np.float32)
+        # frozen template buffers are recomputed from the tokenizer
+        mt.used.update(
+            k for k in sd if k.startswith("prompt_learner.token_")
+        )
+    unused = [
+        k
+        for k in sd
+        if k not in mt.used
+        and not k.startswith("classifier")
+        and "num_batches_tracked" not in k
+    ]
+    if unused:
+        raise ValueError(f"unmapped CLIP checkpoint keys: {unused[:8]}...")
+    return out
 
 
 class _Exporter:

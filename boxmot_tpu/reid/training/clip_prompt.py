@@ -44,16 +44,26 @@ class PromptStageConfig:
 class PromptStage:
     """Bundles PromptLearner + ClipTextEncoder for stage-1 training."""
 
-    def __init__(self, cfg: PromptStageConfig):
+    def __init__(
+        self,
+        cfg: PromptStageConfig,
+        n_prefix: int = 5,
+        n_suffix: int = 2,
+        text_context: int | None = None,
+    ):
         self.cfg = cfg
         self.prompt = PromptLearner(
-            num_classes=cfg.num_classes, width=cfg.width, n_cls_ctx=cfg.n_cls_ctx
+            num_classes=cfg.num_classes,
+            width=cfg.width,
+            n_cls_ctx=cfg.n_cls_ctx,
+            n_prefix=n_prefix,
+            n_suffix=n_suffix,
         )
         self.text = ClipTextEncoder(
             width=cfg.width,
             layers=cfg.text_layers,
             heads=cfg.text_heads,
-            context=self.prompt.seq_len,
+            context=text_context or self.prompt.seq_len,
             proj_dim=cfg.feat_dim,
         )
 
@@ -76,6 +86,8 @@ def learn_identity_prompts(
     labels: np.ndarray,
     cfg: PromptStageConfig | None = None,
     train_text: bool = False,
+    pretrained: dict | None = None,
+    template: str = "A photo of a X X X X person.",
 ):
     """Run stage 1: returns (stage, params, history).
 
@@ -86,16 +98,59 @@ def learn_identity_prompts(
     transformer stays frozen at its pretrained weights.  Without
     pretrained text weights, `train_text=True` lets the tower co-train
     from scratch.
+
+    `pretrained` takes the dict returned by models.convert.convert_clip:
+    the text tower loads OpenAI weights (frozen), the prompt template is
+    embedded with the pretrained token embeddings via the real BPE
+    tokenizer, and ONLY the per-identity context vectors train — the
+    reference's actual stage-1 initialization
+    (make_model_clipreid.py:232-278).
     """
     cfg = cfg or PromptStageConfig(num_classes=int(labels.max()) + 1)
-    stage = PromptStage(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
-    params = stage.init(rng)
+    if pretrained is not None:
+        from boxmot_tpu.models.clip_reid import pretrained_prompt_template
+
+        text_params = pretrained["text"]["params"]
+        tok_emb = pretrained["token_embedding"]
+        cfg = dataclasses.replace(
+            cfg,
+            width=int(tok_emb.shape[1]),
+            text_heads=max(1, int(tok_emb.shape[1]) // 64),  # CLIP: 64-d heads
+            text_layers=sum(k.startswith("resblock") for k in text_params),
+            feat_dim=int(text_params["text_projection"].shape[-1]),
+        )
+        prefix, suffix, _ = pretrained_prompt_template(
+            tok_emb, template, cfg.n_cls_ctx
+        )
+        stage = PromptStage(
+            cfg,
+            n_prefix=len(prefix),
+            n_suffix=len(suffix),
+            text_context=int(text_params["positional_embedding"].shape[0]),
+        )
+        params = stage.init(rng)
+        params["prompt"] = {
+            **params["prompt"],
+            "token_prefix": jnp.asarray(prefix),
+            "token_suffix": jnp.asarray(suffix),
+        }
+        params["text"] = jax.tree.map(jnp.asarray, text_params)
+        if train_text:
+            raise ValueError("pretrained text tower trains frozen")
+    else:
+        stage = PromptStage(cfg)
+        params = stage.init(rng)
 
     tx = optax.adam(cfg.lr)
-    trainable = (
-        params if train_text else {"prompt": params["prompt"]}
-    )
+    if pretrained is not None:
+        # reference stage 1: only the per-identity context vectors move;
+        # the template embeddings are frozen buffers
+        trainable = {"prompt": {"cls_ctx": params["prompt"]["cls_ctx"]}}
+    elif train_text:
+        trainable = params
+    else:
+        trainable = {"prompt": params["prompt"]}
     opt_state = tx.init(trainable)
 
     feats = jnp.asarray(image_feats, jnp.float32)
@@ -109,22 +164,33 @@ def learn_identity_prompts(
         sample_rng.integers(0, n, size=(cfg.steps, batch)), jnp.int32
     )
 
+    def select(tree, like):
+        """Slice `tree` down to the structure of `like` (nested dicts)."""
+        if not isinstance(like, dict):
+            return tree
+        return {k: select(tree[k], v) for k, v in like.items()}
+
+    def merge(base, upd):
+        if not isinstance(upd, dict):
+            return upd
+        return {
+            k: merge(base[k], upd[k]) if k in upd else base[k] for k in base
+        }
+
     def step(carry, idxs):
         params, opt_state = carry
 
         def loss_fn(train_params):
-            full = {**params, **train_params}
-            txt = stage.encode(full, labs[idxs])
+            txt = stage.encode(merge(params, train_params), labs[idxs])
             return clip_prompt_losses(
                 feats[idxs], txt, labs[idxs], cfg.temperature
             )
 
-        train_params = params if train_text else {"prompt": params["prompt"]}
+        train_params = select(params, trainable)
         loss, grads = jax.value_and_grad(loss_fn)(train_params)
         updates, new_opt = tx.update(grads, opt_state, train_params)
         new_train = optax.apply_updates(train_params, updates)
-        new_params = {**params, **new_train}
-        return (new_params, new_opt), loss
+        return (merge(params, new_train), new_opt), loss
 
     (params, _), losses = jax.lax.scan(step, (params, opt_state), idx_stream)
     return stage, params, np.asarray(losses)

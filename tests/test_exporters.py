@@ -71,9 +71,11 @@ def test_tflite_dynamic_quant(model_and_vars, tmp_path):
     assert corr > 0.98
 
 
-def test_onnx_gated():
-    with pytest.raises(ImportError):
-        E.export_onnx()
+def test_onnx_export_available():
+    # export_onnx is no longer import-gated: the in-repo onnxlite
+    # translator serializes the ModelProto itself (full coverage in
+    # test_onnx_export.py)
+    assert callable(E.export_onnx)
 
 
 class TestRuntimeBackends:
