@@ -87,6 +87,82 @@ def lifecycle_scenario(n_frames: int = 400, seed: int = 0) -> SynthScenario:
     return SynthScenario(n_frames=n_frames, seed=seed, objects=objs)
 
 
+def mot17_scale_scenario(
+    n_frames: int = 750,
+    n_objects: int = 60,
+    seed: int = 0,
+    im_width: int = 1920,
+    im_height: int = 1080,
+    frame_rate: int = 30,
+) -> SynthScenario:
+    """A full-length, MOT17-density scene (pedestrian-flow statistics).
+
+    MOT17 train sequences run 525-1500 frames with ~20-80 concurrent
+    pedestrians (e.g. MOT17-04: 1050 frames / 1920x1080 / dense
+    sidewalk).  This scenario reproduces that scale for the full-scale
+    parity harness (tools/full_scale_parity.py): identities enter in
+    staggered waves, walk mostly-linear paths with per-identity speed,
+    and a sampled subset carries the lifecycle stressors the small
+    fixtures script explicitly — short dropouts, longer-than-buffer
+    gaps, birth flicker and periodic confidence dips — so tracker
+    behavior at scale covers the same transition graph.
+    """
+    rng = np.random.default_rng(seed)
+    F = n_frames
+    objs: list[SynthObject] = []
+    for tid in range(1, n_objects + 1):
+        # staggered entry/exit: ~60% of identities span most of the clip
+        start = 1 if rng.random() < 0.35 else int(rng.integers(1, max(2, F - 60)))
+        span_len = int(rng.integers(min(120, F // 2), F))
+        end = min(F, start + span_len)
+        spans = [(start, end)]
+        # short dropout (< default track_buffer 30) for ~25% of tracks
+        if rng.random() < 0.25 and end - start > 120:
+            cut = int(rng.integers(start + 40, end - 60))
+            gap = int(rng.integers(5, 25))
+            spans = [(start, cut), (cut + gap, end)]
+        # long gap (> buffer: death + re-id pressure) for ~10%
+        elif rng.random() < 0.10 and end - start > 260:
+            cut = int(rng.integers(start + 60, end - 160))
+            gap = int(rng.integers(60, 140))
+            spans = [(start, cut), (cut + gap, end)]
+        # pedestrian-ish box sizes, clamped for small test canvases
+        h = float(rng.uniform(min(70, im_height * 0.2), min(220, im_height * 0.5)))
+        w = h * float(rng.uniform(0.32, 0.48))
+        speed = rng.uniform(0.5, 3.5)
+        theta = rng.uniform(0, 2 * np.pi)
+        p0 = (
+            float(rng.uniform(0, im_width - w)),
+            float(rng.uniform(0, im_height - h)),
+        )
+        objs.append(
+            SynthObject(
+                tid,
+                spans,
+                p0,
+                (float(speed * np.cos(theta)), float(speed * np.sin(theta))),
+                (w, h),
+                conf=float(rng.uniform(0.75, 0.97)),
+                conf_dip_every=int(rng.integers(6, 14)) if rng.random() < 0.2 else 0,
+                flicker_frames=tuple(
+                    range(start + 1, start + 1 + int(rng.integers(2, 5)))
+                )
+                if rng.random() < 0.15
+                else (),
+            )
+        )
+    return SynthScenario(
+        n_frames=F,
+        im_width=im_width,
+        im_height=im_height,
+        frame_rate=frame_rate,
+        det_noise_px=1.5,
+        clutter_per_frame=2.0,
+        seed=seed,
+        objects=objs,
+    )
+
+
 def render_scenario(sc: SynthScenario) -> tuple[np.ndarray, np.ndarray]:
     """Returns (gt_rows (N,9), det_rows (M,7)) in MOT txt conventions:
     gt:  frame, id, l, t, w, h, consider=1, cls=1, vis=1.0

@@ -1,0 +1,388 @@
+"""Full-scale repo-vs-reference parity: all 10 trackers, MOT17-density.
+
+The published benchmark caches are network-gated in this environment
+(docs/artifacts/cache_download_attempt.md), so full-scale evidence is
+produced offline: full-length synthetic sequences at MOT17 scale
+(525-1200 frames, 30-80 identities, 1920x1080, seqinfo-faithful —
+data/synth.py mot17_scale_scenario), one shared det+emb(+mask) cache,
+and BOTH implementations replayed end-to-end from that cache:
+
+  * repo:      run_eval(root, tracker, cache_root=...) — the same
+               pipeline the CLI eval mode runs (replay -> MOT txt ->
+               native metric stack)
+  * reference: the ACTUAL reference trackers (tests/refshim) fed the
+               identical cached rows per frame, their MOT txt scored by
+               the same metric stack (the reference's own TrackEval
+               wrapper is a pip-gated subprocess, engine/eval/trackeval/
+               runner.py:67; the repo stack is pinned against hand-
+               computed fixtures and reference-generated outputs).
+
+Writes docs/parity.md and docs/artifacts/full_scale_parity.json.
+
+Usage::
+
+    python tools/full_scale_parity.py [--trackers a,b] [--workdir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+# CPU backend: parity is backend-independent (the device programs are
+# pinned elsewhere) and host compiles are minutes faster than tunneled
+# TPU compiles for the one-off full-scale shapes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", str(REPO / "tests" / ".jax_cache" / "fullscale"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+DIM = 128
+DETECTOR = "synthdet"
+REID = "identsynth"
+
+SEQUENCES = {
+    # name -> (n_frames, n_objects, seed, width, height)
+    "FS-01": (750, 60, 11, 1920, 1080),
+    "FS-02": (1200, 30, 22, 1920, 1080),
+    "FS-03": (525, 80, 33, 1920, 1080),
+}
+# sam2mot consumes the 160x160-packed mask cache; a smaller canvas keeps
+# host-side mask synthesis tractable without changing what the tracker
+# sees (masks are cache-resampled either way, data/cache.py:116)
+MASK_SEQ = {"FS-S1": (525, 40, 44, 960, 540)}
+
+TRACKERS = (
+    "bytetrack",
+    "ocsort",
+    "sfsort",
+    "botsort",
+    "deepocsort",
+    "strongsort",
+    "boosttrack",
+    "occluboost",
+    "hybridsort",
+    "sam2mot",
+)
+
+REF_SPECS = {
+    "bytetrack": ("ByteTrack", {}, False, False),
+    "ocsort": ("OcSort", {}, False, False),
+    "sfsort": ("SFSORT", {}, False, False),
+    "botsort": ("BotSort", {"with_reid": True}, True, False),
+    "deepocsort": ("DeepOcSort", {}, True, False),
+    "strongsort": ("StrongSort", {}, True, False),
+    "boosttrack": ("BoostTrack", {"with_reid": True}, True, False),
+    "occluboost": ("OccluBoost", {"with_reid": True}, True, False),
+    "hybridsort": ("HybridSort", {"with_reid": True}, True, False),
+    "sam2mot": ("Sam2Mot", {}, False, True),
+}
+
+
+class _NoReID:
+    def get_features(self, *a, **k):  # pragma: no cover
+        raise AssertionError("reid model must not be consulted when embs given")
+
+
+def build_dataset(workdir: Path) -> tuple[Path, Path]:
+    from boxmot_tpu.data.synth import mot17_scale_scenario, write_sequence
+
+    box_root = workdir / "fullscale" / "train"
+    mask_root = workdir / "fullscale-mask" / "train"
+    for root, seqs in ((box_root, SEQUENCES), (mask_root, MASK_SEQ)):
+        for name, (F, N, seed, W, H) in seqs.items():
+            if (root / name / "gt" / "gt.txt").exists():
+                continue
+            sc = mot17_scale_scenario(
+                n_frames=F, n_objects=N, seed=seed, im_width=W, im_height=H
+            )
+            write_sequence(root, name, sc)
+            gt, det = np.loadtxt(
+                root / name / "gt" / "gt.txt", delimiter=","
+            ), np.loadtxt(root / name / "det" / "det.txt", delimiter=",")
+            print(
+                f"[build] {name}: {F} frames, {len(gt)} gt rows "
+                f"({len(gt)/F:.1f}/frame), {len(det)} det rows"
+            )
+    return box_root, mask_root
+
+
+def build_caches(root: Path, cache_root: Path, with_masks: bool):
+    """Shared det + identity-keyed emb (+ packed mask) caches."""
+    from boxmot_tpu.data.cache import (
+        AppendableNpyWriter,
+        det_cache_path,
+        emb_cache_path,
+        mask_cache_path,
+        pack_masks,
+    )
+    from boxmot_tpu.data.mot import MOTDataset
+
+    bases: dict[int, np.ndarray] = {}
+
+    def base(gid: int) -> np.ndarray:
+        if gid not in bases:
+            b = np.random.default_rng(1000 + gid).normal(size=DIM)
+            bases[gid] = b / np.linalg.norm(b)
+        return bases[gid]
+
+    rng = np.random.default_rng(7)
+    for seq in MOTDataset(root):
+        dp = det_cache_path(cache_root, DETECTOR, seq.name)
+        if dp.exists():
+            continue
+        ep = emb_cache_path(cache_root, DETECTOR, REID, seq.name)
+        dp.parent.mkdir(parents=True, exist_ok=True)
+        ep.parent.mkdir(parents=True, exist_ok=True)
+        writers = [AppendableNpyWriter(dp, 7), AppendableNpyWriter(ep, 1 + DIM)]
+        mw = None
+        if with_masks:
+            mp = mask_cache_path(cache_root, DETECTOR, seq.name)
+            mp.parent.mkdir(parents=True, exist_ok=True)
+            mw = AppendableNpyWriter(mp, 1 + 160 * 20)
+            writers.append(mw)
+        gt = seq.gt()
+        hw = (seq.info.im_height, seq.info.im_width)
+        with contextlib.ExitStack() as stack:
+            dw, ew = writers[0], writers[1]
+            for w in writers:
+                stack.enter_context(w)
+            for f, dets in enumerate(seq.dets_per_frame(), start=1):
+                if not len(dets):
+                    continue
+                dw.append(
+                    np.concatenate(
+                        [np.full((len(dets), 1), f, np.float32), dets[:, :6]],
+                        axis=1,
+                    ).astype(np.float32)
+                )
+                g = gt[gt[:, 0] == f]
+                gboxes = (
+                    np.stack(
+                        [g[:, 2], g[:, 3], g[:, 2] + g[:, 4], g[:, 3] + g[:, 5]],
+                        axis=1,
+                    )
+                    if len(g)
+                    else np.zeros((0, 4))
+                )
+                iou = _iou_matrix(dets[:, :4].astype(np.float64), gboxes)
+                embs = np.zeros((len(dets), DIM), np.float32)
+                for r in range(len(dets)):
+                    if iou.shape[1] and iou[r].max() >= 0.3:
+                        e = base(int(g[iou[r].argmax(), 1])) + 0.02 * rng.normal(
+                            size=DIM
+                        )
+                    else:
+                        e = rng.normal(size=DIM)
+                    embs[r] = (e / np.linalg.norm(e)).astype(np.float32)
+                ew.append(
+                    np.concatenate(
+                        [np.full((len(dets), 1), f, np.float32), embs], axis=1
+                    )
+                )
+                if mw is not None:
+                    masks = _box_masks(dets, hw)
+                    mw.append(pack_masks(f, masks))
+        print(f"[cache] {seq.name} done")
+
+
+def _iou_matrix(a, b):
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)))
+    x1 = np.maximum(a[:, None, 0], b[None, :, 0])
+    y1 = np.maximum(a[:, None, 1], b[None, :, 1])
+    x2 = np.minimum(a[:, None, 2], b[None, :, 2])
+    y2 = np.minimum(a[:, None, 3], b[None, :, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / np.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-9)
+
+
+def _box_masks(dets, hw):
+    H, W = hw
+    m = np.zeros((len(dets), H, W), bool)
+    for r, d in enumerate(dets):
+        x1 = int(np.clip(d[0], 0, W - 1))
+        y1 = int(np.clip(d[1], 0, H - 1))
+        x2 = int(np.clip(d[2], 0, W - 1))
+        y2 = int(np.clip(d[3], 0, H - 1))
+        m[r, y1 : y2 + 1, x1 : x2 + 1] = True
+    return m
+
+
+def run_repo(root: Path, cache_root: Path, tracker: str, out: Path) -> dict:
+    from boxmot_tpu.engine.eval import run_eval
+
+    needs_embs = REF_SPECS[tracker][2]
+    res = run_eval(
+        root,
+        tracker,
+        cache_root=cache_root,
+        detector=DETECTOR,
+        reid=REID if needs_embs else None,
+        output_dir=out,
+        tracker_params={"feat_dim": DIM} if needs_embs else None,
+    )
+    return {k: float(res["combined"][k]) for k in ("HOTA", "MOTA", "IDF1")}
+
+
+def run_reference(root: Path, cache_root: Path, tracker: str) -> dict:
+    """Reference trackers fed the identical cached rows, scored by the
+    repo metric stack."""
+    from tests.refshim import load_reference
+
+    load_reference()
+    import boxmot.trackers as RT
+
+    from boxmot_tpu.data.cache import (
+        det_cache_path,
+        emb_cache_path,
+        load_cached_dets_per_frame,
+        load_cached_embs_per_frame,
+        load_cached_masks_per_frame,
+        mask_cache_path,
+    )
+    from boxmot_tpu.data.mot import MOTDataset
+    from boxmot_tpu.engine.metrics.mot_metrics import (
+        evaluate_sequences,
+        preprocess_sequence,
+    )
+    from boxmot_tpu.engine.mot_io import convert_to_mot_format
+
+    cls_name, kwargs, needs_embs, needs_masks = REF_SPECS[tracker]
+    if needs_embs:
+        kwargs = {**kwargs, "reid_model": _NoReID()} if "with_reid" in kwargs else kwargs
+    seq_data = {}
+    for seq in MOTDataset(root):
+        dets_pf = load_cached_dets_per_frame(
+            det_cache_path(cache_root, DETECTOR, seq.name), seq.seq_length
+        )
+        embs_pf = (
+            load_cached_embs_per_frame(
+                emb_cache_path(cache_root, DETECTOR, REID, seq.name),
+                seq.seq_length,
+            )
+            if needs_embs
+            else None
+        )
+        hw = (seq.info.im_height, seq.info.im_width)
+        masks_pf = (
+            load_cached_masks_per_frame(
+                mask_cache_path(cache_root, DETECTOR, seq.name),
+                seq.seq_length,
+                hw,
+            )
+            if needs_masks
+            else None
+        )
+        img = np.zeros((*hw, 3), np.uint8)
+        with contextlib.redirect_stdout(io.StringIO()):
+            trk = getattr(RT, cls_name)(**kwargs)
+        rows = []
+        for f in range(seq.seq_length):
+            dets = dets_pf[f]
+            if dets is None or not len(dets):
+                dets = np.zeros((0, 6), np.float32)
+            kw = {}
+            if needs_embs:
+                kw["embs"] = (
+                    embs_pf[f]
+                    if embs_pf[f] is not None
+                    else np.zeros((len(dets), DIM), np.float32)
+                )
+            if needs_masks:
+                kw["masks"] = (
+                    masks_pf[f]
+                    if masks_pf[f] is not None
+                    else np.zeros((len(dets), *hw), bool)
+                )
+            out = np.asarray(trk.update(np.asarray(dets, np.float32), img, **kw))
+            if len(out):
+                rows.append(convert_to_mot_format(out, frame_idx=f + 1))
+        mot = np.concatenate(rows) if rows else np.zeros((0, 9))
+        seq_data[seq.name] = preprocess_sequence(
+            seq.gt(), mot.astype(np.float64), seq.seq_length
+        )
+    return {
+        k: float(evaluate_sequences(seq_data)["combined"][k])
+        for k in ("HOTA", "MOTA", "IDF1")
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trackers", default=",".join(TRACKERS))
+    ap.add_argument("--workdir", default=str(REPO / ".fullscale"))
+    ap.add_argument("--json", dest="json_path",
+                    default=str(REPO / "docs" / "artifacts" / "full_scale_parity.json"))
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny sequences — harness shakeout only")
+    args = ap.parse_args(argv)
+    if args.smoke:
+        SEQUENCES.clear()
+        SEQUENCES["FS-01"] = (60, 8, 11, 640, 360)
+        MASK_SEQ.clear()
+        MASK_SEQ["FS-S1"] = (40, 6, 44, 320, 180)
+        args.workdir = str(REPO / ".fullscale-smoke")
+        args.json_path = "/tmp/full_scale_parity_smoke.json"
+    workdir = Path(args.workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+
+    box_root, mask_root = build_dataset(workdir)
+    cache_box = workdir / "cache-box"
+    cache_mask = workdir / "cache-mask"
+    build_caches(box_root, cache_box, with_masks=False)
+    build_caches(mask_root, cache_mask, with_masks=True)
+
+    results = {}
+    json_path = Path(args.json_path)
+    if json_path.exists():
+        results = json.loads(json_path.read_text()).get("trackers", {})
+    for tracker in [t.strip() for t in args.trackers.split(",") if t.strip()]:
+        if tracker in results:
+            print(f"[skip] {tracker} (already recorded)")
+            continue
+        root = mask_root if tracker == "sam2mot" else box_root
+        cache = cache_mask if tracker == "sam2mot" else cache_box
+        t0 = time.time()
+        repo = run_repo(root, cache, tracker, workdir / "out" / tracker)
+        t_repo = time.time() - t0
+        t0 = time.time()
+        ref = run_reference(root, cache, tracker)
+        t_ref = time.time() - t0
+        results[tracker] = {
+            "repo": repo,
+            "reference": ref,
+            "delta": {k: round(repo[k] - ref[k], 6) for k in repo},
+            "seconds": {"repo": round(t_repo, 1), "reference": round(t_ref, 1)},
+        }
+        print(f"[done] {tracker}: repo={repo} ref={ref}")
+        json_path.parent.mkdir(parents=True, exist_ok=True)
+        json_path.write_text(
+            json.dumps(
+                {
+                    "dim": DIM,
+                    "sequences": {**SEQUENCES, **MASK_SEQ},
+                    "trackers": results,
+                },
+                indent=1,
+            )
+        )
+    print(json.dumps(results, indent=1))
+    return results
+
+
+if __name__ == "__main__":
+    main()
