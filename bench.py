@@ -45,6 +45,46 @@ def synthetic_frames(n_frames, n_dets, seed=0):
     return frames
 
 
+def _ensure_honest_dispatch():
+    """Through the axon tunnel, block_until_ready does NOT fence until
+    the process has performed one device->host read (measured: a
+    275-TFLOP launch chain "completes" in 0.0 s before the first read;
+    after it, a pipelined bf16 matmul chain times at 96% of the v5e
+    peak — i.e. the fence is then real).  Pay that one-time read here,
+    OUTSIDE every timed window (docs/performance.md "tunnel timing")."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 8))
+    np.asarray(jax.jit(lambda a: a @ a)(x))
+
+
+def _timed_launches(launch, batches, n_samples=11):
+    """Median per-launch seconds over pipelined launch batches, fenced
+    by block_until_ready in honest-dispatch mode and verified by a
+    read that must be ~free (else the fence was not real)."""
+    import jax
+
+    samples = []
+    for _ in range(n_samples):
+        t0 = time.perf_counter()
+        outs = [launch(b) for b in batches]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / len(batches)
+        t0 = time.perf_counter()
+        first = np.asarray(jax.tree_util.tree_leaves(outs[-1])[0]).ravel()[0]
+        t_verify = time.perf_counter() - t0
+        if not np.isfinite(first):
+            raise RuntimeError("non-finite output from timed program")
+        if t_verify > max(0.25, 0.5 * dt * len(batches)):
+            raise RuntimeError(
+                f"verification read took {t_verify:.3f}s after a "
+                f"{dt * len(batches):.3f}s block - fence was not real"
+            )
+        samples.append(dt)
+    return sorted(samples)[len(samples) // 2]
+
+
 def bench_tpu():
     import jax
 
@@ -66,23 +106,12 @@ def bench_tpu():
         batches.append(jax.device_put(jax.numpy.asarray(np.stack(packed))))
     states = init_states(cfg, N_SEQS)
 
-    # Warm-up / compile.
+    # Warm-up / compile, then switch the tunnel into honest dispatch.
     out = batch_replay(cfg, states, batches[0])
     jax.block_until_ready(out)
+    _ensure_honest_dispatch()
 
-    # Median of repeated samples, each a pipelined batch of launches
-    # with ONE sync: a single scan finishes in well under a millisecond,
-    # so per-launch sync would measure the device tunnel's round trip
-    # (and its contention noise), not the tracker.  No device->host
-    # result reads happen before timing ends — the tunnel's first d2h
-    # read switches dispatch into a synchronous mode (docs/performance.md).
-    samples = []
-    for _ in range(11):
-        t0 = time.perf_counter()
-        outs = [batch_replay(cfg, states, b) for b in batches]
-        jax.block_until_ready(outs)
-        samples.append((time.perf_counter() - t0) / pipeline)
-    dt = sorted(samples)[len(samples) // 2]
+    dt = _timed_launches(lambda b: batch_replay(cfg, states, b), batches)
     return N_SEQS * N_FRAMES / dt
 
 
@@ -142,14 +171,9 @@ def bench_tpu_occluboost():
 
     out = batch_replay(cfg, states, batches[0], embs_d)
     jax.block_until_ready(out)
+    _ensure_honest_dispatch()
 
-    samples = []
-    for _ in range(11):
-        t0 = time.perf_counter()
-        outs = [batch_replay(cfg, states, b, embs_d) for b in batches]
-        jax.block_until_ready(outs)
-        samples.append((time.perf_counter() - t0) / pipeline)
-    dt = sorted(samples)[len(samples) // 2]
+    dt = _timed_launches(lambda b: batch_replay(cfg, states, b, embs_d), batches)
     return N_SEQS * OB_FRAMES / dt
 
 

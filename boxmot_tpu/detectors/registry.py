@@ -44,10 +44,30 @@ class PublicDetections(BaseDetectorBackend):
         return Detections(xyxy=raw[:, :4], conf=raw[:, 4], cls=raw[:, 5])
 
 
-class UltralyticsDetector(BaseDetectorBackend):
-    """Adapter over the ultralytics YOLO predictor (detectors/ultralytics.py)."""
+def _as_numpy(values) -> np.ndarray:
+    """Torch tensors (cuda or cpu) and arrays -> float32 numpy
+    (reference boxmot/detectors/ultralytics.py:151-156)."""
+    if hasattr(values, "cpu"):
+        values = values.cpu()
+    if hasattr(values, "numpy"):
+        values = values.numpy()
+    return np.asarray(values, dtype=np.float32)
 
-    def __init__(self, weights, device=None, half=False, conf=0.25, **kwargs):
+
+class UltralyticsDetector(BaseDetectorBackend):
+    """Adapter over the ultralytics YOLO predictor
+    (reference boxmot/detectors/ultralytics.py:17-204), covering all
+    three result families the reference extracts:
+
+      * detect models  -> result.boxes  {xyxy, conf, cls}
+      * segment models -> result.boxes + result.masks.data (binarized
+        at 0.5 to uint8, ultralytics.py:183-189)
+      * OBB models     -> result.obb {xywhr, conf, cls} -> (N,7) dets
+        (ultralytics.py:166-172)
+    """
+
+    def __init__(self, weights, device=None, half=False, conf=0.25,
+                 iou=0.7, classes=None, agnostic_nms=False, **kwargs):
         super().__init__(weights, device, half)
         try:
             from ultralytics import YOLO  # noqa: PLC0415
@@ -58,21 +78,66 @@ class UltralyticsDetector(BaseDetectorBackend):
             ) from exc
         self.model = YOLO(str(weights))
         self.conf = conf
+        self.iou = iou
+        self.classes = classes
+        self.agnostic_nms = agnostic_nms
 
     def preprocess(self, img):
         return img, None
 
     def process(self, batch):
-        return self.model.predict(batch, conf=self.conf, verbose=False)[0]
+        kwargs = {"conf": self.conf, "verbose": False}
+        # only pass non-default knobs: recorded fakes and older
+        # predictor signatures need not accept every option
+        if self.iou != 0.7:
+            kwargs["iou"] = self.iou
+        if self.classes is not None:
+            kwargs["classes"] = self.classes
+        if self.agnostic_nms:
+            kwargs["agnostic_nms"] = True
+        return self.model.predict(batch, **kwargs)[0]
 
     def postprocess(self, raw, meta) -> Detections:
-        import numpy as np
+        obb = getattr(raw, "obb", None)
+        if obb is not None:
+            if len(obb) == 0:
+                return Detections(
+                    xyxy=np.zeros((0, 4), np.float32),
+                    conf=np.zeros((0,), np.float32),
+                    cls=np.zeros((0,), np.float32),
+                    is_obb=True,
+                    xywha=np.zeros((0, 5), np.float32),
+                )
+            xywhr = _as_numpy(obb.xywhr)
+            conf = _as_numpy(obb.conf).reshape(-1)
+            cls = _as_numpy(obb.cls).reshape(-1)
+            # axis-aligned hull of the rotated rect (host numpy)
+            cx, cy, w, h, a = xywhr.T
+            ex = np.abs(w / 2 * np.cos(a)) + np.abs(h / 2 * np.sin(a))
+            ey = np.abs(w / 2 * np.sin(a)) + np.abs(h / 2 * np.cos(a))
+            xyxy = np.stack(
+                [cx - ex, cy - ey, cx + ex, cy + ey], axis=1
+            ).astype(np.float32)
+            return Detections(
+                xyxy=xyxy, conf=conf, cls=cls, is_obb=True, xywha=xywhr
+            )
 
         boxes = raw.boxes
+        if boxes is None or len(boxes) == 0:
+            return Detections(
+                xyxy=np.zeros((0, 4), np.float32),
+                conf=np.zeros((0,), np.float32),
+                cls=np.zeros((0,), np.float32),
+            )
+        masks = None
+        raw_masks = getattr(raw, "masks", None)
+        if raw_masks is not None and len(raw_masks) > 0:
+            masks = (_as_numpy(raw_masks.data) > 0.5).astype(np.uint8)
         return Detections(
-            xyxy=np.asarray(boxes.xyxy),
-            conf=np.asarray(boxes.conf),
-            cls=np.asarray(boxes.cls),
+            xyxy=_as_numpy(boxes.xyxy),
+            conf=_as_numpy(boxes.conf).reshape(-1),
+            cls=_as_numpy(boxes.cls).reshape(-1),
+            masks=masks,
         )
 
 

@@ -201,6 +201,9 @@ def fake_ultralytics(monkeypatch):
         def __init__(self, xyxy, conf, cls):
             self.xyxy, self.conf, self.cls = xyxy, conf, cls
 
+        def __len__(self):
+            return len(self.xyxy)
+
     class _Result:
         def __init__(self, boxes):
             self.boxes = boxes
@@ -263,3 +266,157 @@ class TestUltralyticsAdapter:
         )
 
         assert get_detector_class("anything_else.pt") is UltralyticsDetector
+
+
+class _TorchLike:
+    """Mimics a torch.Tensor's .cpu()/.numpy() chain — what the real
+    ultralytics Results attributes return (reference ultralytics.py:151-156
+    handles exactly this shape of object)."""
+
+    def __init__(self, arr):
+        self._arr = np.asarray(arr)
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self._arr
+
+    def __len__(self):
+        return len(self._arr)
+
+
+@pytest.fixture()
+def fake_ultralytics_seg_obb(monkeypatch):
+    """`ultralytics` fake whose predict returns Results shaped like the
+    real package's segment and OBB model outputs (tensor-valued attrs,
+    masks.data at model resolution, obb.xywhr).  Field layout recorded
+    from the reference's consumption of the real API
+    (boxmot/detectors/ultralytics.py:158-193)."""
+    import sys
+    import types
+
+    class _Boxes:
+        def __init__(self, xyxy, conf, cls):
+            self.xyxy = _TorchLike(xyxy)
+            self.conf = _TorchLike(conf)
+            self.cls = _TorchLike(cls)
+
+        def __len__(self):
+            return len(self.xyxy)
+
+    class _Masks:
+        def __init__(self, data):
+            self.data = _TorchLike(data)
+
+        def __len__(self):
+            return len(self.data.numpy())
+
+    class _Obb:
+        def __init__(self, xywhr, conf, cls):
+            self.xywhr = _TorchLike(xywhr)
+            self.conf = _TorchLike(conf)
+            self.cls = _TorchLike(cls)
+
+        def __len__(self):
+            return len(self.xywhr.numpy())
+
+    class _Result:
+        def __init__(self, boxes=None, masks=None, obb=None):
+            self.boxes = boxes
+            self.masks = masks
+            self.obb = obb
+
+    def seg_result():
+        xyxy = np.array([[8, 10, 40, 70], [60, 20, 100, 90]], np.float32)
+        # soft mask logits at "model" resolution, binarized at 0.5
+        m = np.zeros((2, 32, 32), np.float32)
+        m[0, 2:10, 1:6] = 0.8
+        m[1, 5:20, 15:25] = 0.6
+        m[1, 0, 0] = 0.4999  # below threshold: must binarize to 0
+        return _Result(
+            boxes=_Boxes(xyxy, [0.9, 0.7], [0.0, 2.0]), masks=_Masks(m)
+        )
+
+    def obb_result():
+        xywhr = np.array(
+            [[50, 40, 30, 10, 0.3], [120, 80, 40, 16, -1.1]], np.float32
+        )
+        return _Result(obb=_Obb(xywhr, [0.8, 0.6], [1.0, 4.0]))
+
+    class _YOLO:
+        results = {"seg": seg_result, "obb": obb_result,
+                   "empty": lambda: _Result(boxes=None),
+                   "empty_obb": lambda: _Result(obb=_Obb(
+                       np.zeros((0, 5), np.float32), [], []))}
+        mode = "seg"
+
+        def __init__(self, weights):
+            self.weights = weights
+
+        def predict(self, img, conf=0.25, verbose=False, **kw):
+            return [self.results[self.mode]()]
+
+    mod = types.ModuleType("ultralytics")
+    mod.YOLO = _YOLO
+    monkeypatch.setitem(sys.modules, "ultralytics", mod)
+    return _YOLO
+
+
+class TestUltralyticsSegObb:
+    """Seg-mask and OBB result handling vs the reference's extraction
+    semantics (boxmot/detectors/ultralytics.py:158-193)."""
+
+    def test_seg_masks_binarized_and_row_aligned(self, fake_ultralytics_seg_obb):
+        from boxmot_tpu.detectors.registry import create_detector
+
+        fake_ultralytics_seg_obb.mode = "seg"
+        det = create_detector("yolo11n-seg.pt", conf=0.25)
+        out = det(np.zeros((120, 160, 3), np.uint8))
+        assert len(out) == 2 and not out.is_obb
+        assert out.masks is not None and out.masks.shape == (2, 32, 32)
+        assert out.masks.dtype == np.uint8
+        assert set(np.unique(out.masks)) <= {0, 1}
+        assert out.masks[0].sum() == 8 * 5  # 0.8 block
+        assert out.masks[1, 0, 0] == 0  # 0.4999 < threshold
+        assert out.as_dets().shape == (2, 6)
+
+    def test_obb_results_to_n7_dets(self, fake_ultralytics_seg_obb):
+        from boxmot_tpu.detectors.registry import create_detector
+
+        fake_ultralytics_seg_obb.mode = "obb"
+        det = create_detector("yolo11n-obb.pt", conf=0.25)
+        out = det(np.zeros((200, 200, 3), np.uint8))
+        assert out.is_obb and len(out) == 2
+        dets = out.as_dets()
+        assert dets.shape == (2, 7)
+        np.testing.assert_allclose(dets[0, :5], [50, 40, 30, 10, 0.3])
+        np.testing.assert_allclose(dets[:, 5], [0.8, 0.6])
+        np.testing.assert_allclose(dets[:, 6], [1.0, 4.0])
+        # hull covers the rotated rect center
+        assert (out.xyxy[:, 0] < 50).all() or out.xyxy[0, 0] < 50
+
+    def test_obb_dets_feed_obb_tracker(self, fake_ultralytics_seg_obb):
+        from boxmot_tpu.detectors.registry import create_detector
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        fake_ultralytics_seg_obb.mode = "obb"
+        det = create_detector("yolo11l-obb.pt", conf=0.25)
+        trk = create_tracker("bytetrack:cpp")
+        img = np.zeros((200, 200, 3), np.uint8)
+        for _ in range(3):
+            out = np.asarray(trk.update(det(img).as_dets(), img))
+        assert out.shape[1] == 9  # OBB track rows (M,9)
+
+    def test_empty_results(self, fake_ultralytics_seg_obb):
+        from boxmot_tpu.detectors.registry import create_detector
+
+        fake_ultralytics_seg_obb.mode = "empty"
+        det = create_detector("yolo11n-seg.pt")
+        out = det(np.zeros((64, 64, 3), np.uint8))
+        assert len(out) == 0 and out.masks is None
+        assert out.as_dets().shape == (0, 6)
+        fake_ultralytics_seg_obb.mode = "empty_obb"
+        out = det(np.zeros((64, 64, 3), np.uint8))
+        assert len(out) == 0 and out.is_obb
+        assert out.as_dets().shape == (0, 7)

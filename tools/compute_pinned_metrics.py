@@ -41,7 +41,23 @@ def main():
         ("mot17_mini", REPO / "assets" / "MOT17-mini" / "train"),
         ("synth_long", REPO / "assets" / "synth-long" / "train"),
     ]:
-        for trk in ["bytetrack", "ocsort", "sfsort", "botsort", "bytetrack:cpp"]:
+        # every tracker, through the same run_eval path the CLI uses;
+        # appearance trackers run motion-only (reid=None), matching how
+        # the suite evaluates them without weights (engine/eval.py:134)
+        for trk in [
+            "bytetrack",
+            "ocsort",
+            "sfsort",
+            "botsort",
+            "deepocsort",
+            "strongsort",
+            "boosttrack",
+            "occluboost",
+            "hybridsort",
+            "sam2mot",
+            "bytetrack:cpp",
+            "occluboost:cpp",
+        ]:
             key = f"{root_name}/{trk}"
             try:
                 out[key] = metrics_of(run_eval(root, trk))
