@@ -166,8 +166,14 @@ class BaseTracker(VisualizationMixin):
         if not self._first_frame_processed and img is not None:
             self.h, self.w = img.shape[0:2]
             self._first_frame_processed = True
+            self._set_frame_size(float(self.w), float(self.h))
 
         return dets, img
+
+    def _set_frame_size(self, w: float, h: float):
+        """First-frame hook for trackers whose association needs the
+        frame size (centroid family — reference basetracker.py:177-181
+        builds AssociationFunction from the first img's w/h)."""
 
     def _set_detection_mode(self, is_obb: bool):
         if is_obb != self.is_obb:

@@ -65,6 +65,8 @@ class DeepOcSortConfig:
     q_xy_scaling: float = 0.01
     q_s_scaling: float = 0.0001
     asso_func: str = "iou"
+    frame_w: float = 0.0  # set from the first img for centroid asso
+    frame_h: float = 0.0
     feat_dim: int = 512
     capacity: int = 256
 
@@ -155,7 +157,7 @@ def deepocsort_step(cfg: DeepOcSortConfig, state: DeepOcSortState, dets, det_val
     layout = kalman.make_xysr_layout(
         q_xy_scaling=cfg.q_xy_scaling, q_s_scaling=cfg.q_s_scaling
     )
-    asso = get_asso_func(cfg.asso_func)
+    asso = get_asso_func(cfg.asso_func, cfg.frame_w or None, cfg.frame_h or None)
     K, D, R = cfg.capacity, dets.shape[0], cfg.delta_t
     frame = state.frame_count + 1
 
@@ -516,6 +518,12 @@ class DeepOcSort(BaseTracker):
 
     def _init_state(self):
         return init_state(self.cfg)
+
+    def _set_frame_size(self, w: float, h: float):
+        import dataclasses
+
+        if self.cfg.asso_func == "centroid":
+            self.cfg = dataclasses.replace(self.cfg, frame_w=w, frame_h=h)
 
     def update(self, dets, img=None, embs=None, masks=None):
         self._pending = {"img": img, "embs": embs}

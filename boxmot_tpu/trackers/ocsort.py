@@ -58,6 +58,8 @@ class OcSortConfig:
     q_xy_scaling: float = 0.01
     q_s_scaling: float = 0.0001
     asso_func: str = "iou"
+    frame_w: float = 0.0  # set from the first img for centroid asso
+    frame_h: float = 0.0
     is_obb: bool = False  # oriented boxes: 9-D XYSR+theta filter
     capacity: int = 256
 
@@ -164,7 +166,11 @@ def ocsort_step(cfg: OcSortConfig, state: OcSortState, dets, det_valid):
         q_s_scaling=cfg.q_s_scaling,
         q_a_scaling=cfg.q_s_scaling,
     )
-    asso = get_asso_func(cfg.asso_func + "_obb" if cfg.is_obb else cfg.asso_func)
+    asso = get_asso_func(
+        cfg.asso_func + "_obb" if cfg.is_obb else cfg.asso_func,
+        cfg.frame_w or None,
+        cfg.frame_h or None,
+    )
     K = cfg.capacity
     D = dets.shape[0]
     R = cfg.delta_t
@@ -536,6 +542,12 @@ class OcSort(BaseTracker):
     def _set_detection_mode(self, is_obb: bool):
         super()._set_detection_mode(is_obb)
         self.cfg = dataclasses.replace(self.cfg, is_obb=is_obb)
+
+    def _set_frame_size(self, w: float, h: float):
+        # only centroid needs it; other asso funcs keep frame-size-free
+        # configs so jit programs are shared across frame sizes
+        if self.cfg.asso_func == "centroid":
+            self.cfg = dataclasses.replace(self.cfg, frame_w=w, frame_h=h)
 
     def _init_state(self):
         return init_state(self.cfg)

@@ -145,6 +145,8 @@ class VisualizationMixin:
         """Draw every track emitted by the most recent update(); with
         show_kf_preds, also the KF-predicted boxes of currently-lost
         tracks (dashed AABB / solid OBB, reference visualization.py:198)."""
+        if not img.flags.writeable:  # e.g. loader-cached frames
+            img = img.copy()
         history = getattr(self, "_display_history", {})
         current = getattr(self, "_display_current", ())
         for tid, box, conf, cls in current:

@@ -121,3 +121,32 @@ class TestOracleParity:
             set(by_id(rt)) == set(by_id(ro)) for rt, ro in zip(outs_t, outs_o)
         )
         assert agree >= len(frames) - 1
+
+
+def test_centroid_asso_uses_first_frame_size():
+    """asso_func='centroid' needs the frame w/h, captured from the first
+    update's img (reference basetracker.py:177-181).  Regression: the
+    config used to reach the step without frame dims and raise."""
+    from boxmot_tpu.trackers.ocsort import OcSort
+
+    trk = OcSort(asso_func="centroid", min_hits=1, det_thresh=0.5)
+    img = np.zeros((480, 640, 3), np.uint8)
+    out = None
+    for f in range(5):
+        d = np.array([[50 + 4 * f, 60, 110 + 4 * f, 180, 0.9, 0]], np.float32)
+        out = np.asarray(trk.update(d, img))
+    assert trk.cfg.frame_w == 640.0 and trk.cfg.frame_h == 480.0
+    assert len(out) == 1  # track held together by centroid distance
+
+
+def test_centroid_asso_obb_frame_size():
+    from boxmot_tpu.trackers.ocsort import OcSort
+
+    trk = OcSort(asso_func="centroid", min_hits=1, det_thresh=0.5,
+                 asso_threshold=0.9)
+    img = np.zeros((512, 512, 3), np.uint8)
+    out = None
+    for f in range(5):
+        d = np.array([[100 + 3 * f, 120, 40, 20, 0.2, 0.9, 0]], np.float32)
+        out = np.asarray(trk.update(d, img))
+    assert len(out) == 1 and out.shape[1] == 9
