@@ -69,14 +69,21 @@ class UltralyticsDetector(BaseDetectorBackend):
     def __init__(self, weights, device=None, half=False, conf=0.25,
                  iou=0.7, classes=None, agnostic_nms=False, **kwargs):
         super().__init__(weights, device, half)
-        try:
-            from ultralytics import YOLO  # noqa: PLC0415
-        except ImportError as exc:
-            raise ImportError(
-                "ultralytics is not installed in this environment; install it "
-                "or use cached detections (generate/eval --detector public)"
-            ) from exc
-        self.model = YOLO(str(weights))
+        if Path(str(weights)).stem.lower().startswith("yololite"):
+            # vendored offline predictor with the same result surface
+            from boxmot_tpu.detectors.yolo_lite import LiteYOLO  # noqa: PLC0415
+
+            self.model = LiteYOLO(str(weights))
+        else:
+            try:
+                from ultralytics import YOLO  # noqa: PLC0415
+            except ImportError as exc:
+                raise ImportError(
+                    "ultralytics is not installed in this environment; install "
+                    "it, use the vendored predictor (--detector yololite[-seg|"
+                    "-obb]), or replay cached detections (--detector public)"
+                ) from exc
+            self.model = YOLO(str(weights))
         self.conf = conf
         self.iou = iou
         self.classes = classes
