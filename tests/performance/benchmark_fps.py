@@ -31,12 +31,29 @@ import numpy as np
 
 DEFAULT_TRACKERS = (
     "bytetrack", "ocsort", "sfsort", "botsort", "occluboost",
-    "boosttrack", "deepocsort", "strongsort", "hybridsort",
+    "boosttrack", "deepocsort", "strongsort", "hybridsort", "sam2mot",
 )
 DEFAULT_COUNTS = (10, 50, 100)
 IMG_HW = (1080, 1920)
 
-REPLAYABLE = set(DEFAULT_TRACKERS)
+# sam2mot consumes externally-produced masks; its throughput path is the
+# live/cpp step (replay runs from mask caches via run_eval instead)
+REPLAYABLE = set(DEFAULT_TRACKERS) - {"sam2mot"}
+
+MASK_HW = (96, 160)  # sam2mot synthetic mask resolution (downsampled frame)
+
+
+def _make_masks(dets, rng):
+    """Box-aligned soft blobs at MASK_HW for sam2mot's mask stream."""
+    mh, mw = MASK_HW
+    h, w = IMG_HW
+    n = len(dets)
+    masks = np.zeros((n, mh, mw), np.uint8)
+    for i, d in enumerate(dets):
+        x1, y1, x2, y2 = d[:4] * [mw / w, mh / h, mw / w, mh / h]
+        masks[i, int(y1):max(int(y2), int(y1) + 1),
+              int(x1):max(int(x2), int(x1) + 1)] = 1
+    return masks
 
 
 def _make_dets(n, rng, n_frames):
@@ -66,11 +83,23 @@ def bench_live(name, dets_frames, warmup=5):
 
     trk = create_tracker(name, tracker_config={"with_reid": False} if name in ("botsort", "occluboost") else None)
     img = np.zeros((64, 64, 3), np.uint8)
+    rng = np.random.default_rng(7)
+    masks = (
+        [_make_masks(d, rng) for d in dets_frames]
+        if name == "sam2mot"
+        else None
+    )
+
+    def _step(f, dets):
+        if masks is not None:
+            return trk.update(dets, img, masks=masks[f])
+        return trk.update(dets, img)
+
     for f in range(warmup):
-        trk.update(dets_frames[f % len(dets_frames)], img)
+        _step(f % len(dets_frames), dets_frames[f % len(dets_frames)])
     t0 = time.perf_counter()
-    for dets in dets_frames:
-        trk.update(dets, img)
+    for f, dets in enumerate(dets_frames):
+        _step(f, dets)
     dt = time.perf_counter() - t0
     return len(dets_frames) / dt
 
@@ -81,6 +110,7 @@ def bench_replay(name, dets_frames):
 
     from boxmot_tpu.engine.replay import init_state, pack_frames, scan_replay
     from boxmot_tpu.trackers.zoo import TRACKER_MAPPING, create_tracker
+    from tests.performance.benchmark_reid import ensure_honest_dispatch
 
     trk = create_tracker(name, tracker_config={"with_reid": False} if name in ("botsort", "occluboost") else None)
     cfg = trk.cfg
@@ -89,11 +119,28 @@ def bench_replay(name, dets_frames):
     state = init_state(cfg)
     _, outs, _ = scan_replay(cfg, state, packed)  # compile + warmup
     jax.block_until_ready(outs)
-    t0 = time.perf_counter()
-    _, outs, _ = scan_replay(cfg, init_state(cfg), packed)
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-    return n_frames / dt
+    # block_until_ready does NOT fence through the tunnel until the
+    # process has paid its first device->host read (docs/performance.md);
+    # without this the measured "replay fps" is a phantom enqueue rate.
+    ensure_honest_dispatch()
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, outs, _ = scan_replay(cfg, init_state(cfg), packed)
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        first = np.asarray(jax.tree_util.tree_leaves(outs)[0]).ravel()[0]
+        t_verify = time.perf_counter() - t0
+        if not np.isfinite(first):
+            raise RuntimeError("non-finite tracker outputs from timed replay")
+        if t_verify > max(0.25, 0.5 * dt):
+            raise RuntimeError(
+                f"verification read took {t_verify:.3f}s after a {dt:.3f}s "
+                f"block — fence was not real"
+            )
+        samples.append(dt)
+    return n_frames / float(np.median(samples))
 
 
 def bench_cpp(name, dets_frames, warmup=5):
@@ -101,12 +148,24 @@ def bench_cpp(name, dets_frames, warmup=5):
 
     trk = create_tracker(name, backend="cpp")
     img = np.zeros((64, 64, 3), np.uint8)
+    rng = np.random.default_rng(7)
+    masks = (
+        [_make_masks(d, rng) for d in dets_frames]
+        if name == "sam2mot"
+        else None
+    )
+
+    def _step(f, dets):
+        if masks is not None:
+            return trk.update(dets, img, masks=masks[f])
+        return trk.update(dets, img)
+
     for f in range(warmup):
-        trk.update(dets_frames[f % len(dets_frames)], img)
+        _step(f % len(dets_frames), dets_frames[f % len(dets_frames)])
     trk.reset()
     t0 = time.perf_counter()
-    for dets in dets_frames:
-        trk.update(dets, img)
+    for f, dets in enumerate(dets_frames):
+        _step(f, dets)
     dt = time.perf_counter() - t0
     return len(dets_frames) / dt
 
@@ -147,10 +206,13 @@ def bench_fused(
     scale = jnp.float32(r)
     reid_vars = reid.variables if reid is not None else {}
 
+    from tests.performance.benchmark_reid import ensure_honest_dispatch
+
     state, out, mask = fused._program(
         det.variables, reid_vars, fused._state, dev_frame, scale
     )  # compile + warmup
     jax.block_until_ready(out)
+    ensure_honest_dispatch()  # block_until_ready is fake before first d2h read
     outs = []
     t0 = time.perf_counter()
     for _ in range(n_frames):
@@ -160,6 +222,16 @@ def bench_fused(
         outs.append(out)
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    first = np.asarray(jax.tree_util.tree_leaves(outs[-1])[0]).ravel()[0]
+    t_verify = time.perf_counter() - t0
+    if not np.isfinite(first):
+        raise RuntimeError("non-finite fused outputs from timed program")
+    if t_verify > max(0.25, 0.5 * dt):
+        raise RuntimeError(
+            f"verification read took {t_verify:.3f}s after a {dt:.3f}s "
+            f"block — fence was not real"
+        )
     return n_frames / dt
 
 

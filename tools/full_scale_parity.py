@@ -381,7 +381,45 @@ def main(argv=None):
             )
         )
     print(json.dumps(results, indent=1))
+    if not args.smoke:
+        write_parity_md(results, REPO / "docs" / "parity.md")
     return results
+
+
+def write_parity_md(results: dict, out: Path) -> None:
+    lines = [
+        "# Full-scale parity: repo vs the actual reference implementation",
+        "",
+        "Both implementations replay the SAME cached detections/embeddings",
+        "(/masks) over full-length synthetic sequences at MOT17 density",
+        "(see `tools/full_scale_parity.py`: 525-1200 frames, 30-80",
+        "identities, 1920x1080), and are scored by the same metric stack",
+        "(itself pinned against hand-computed fixtures and",
+        "reference-generated outputs).  The published benchmark caches are",
+        "network-gated in this environment",
+        "(`docs/artifacts/cache_download_attempt.md`); this is the offline",
+        "full-scale evidence the caches would otherwise provide.",
+        "",
+        "| tracker | HOTA repo | HOTA ref | dHOTA | MOTA repo | MOTA ref | dMOTA | IDF1 repo | IDF1 ref | dIDF1 |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for name, r in sorted(results.items()):
+        repo, ref, d = r["repo"], r["reference"], r["delta"]
+        lines.append(
+            f"| {name} "
+            f"| {100 * repo['HOTA']:.3f} | {100 * ref['HOTA']:.3f} | {100 * d['HOTA']:+.3f} "
+            f"| {100 * repo['MOTA']:.3f} | {100 * ref['MOTA']:.3f} | {100 * d['MOTA']:+.3f} "
+            f"| {100 * repo['IDF1']:.3f} | {100 * ref['IDF1']:.3f} | {100 * d['IDF1']:+.3f} |"
+        )
+    lines += [
+        "",
+        "Deltas are percentage points.  Raw values + wall times:",
+        "`docs/artifacts/full_scale_parity.json`.  Reproduce:",
+        "`python tools/full_scale_parity.py` (resumable per tracker).",
+        "",
+    ]
+    out.write_text("\n".join(lines))
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
