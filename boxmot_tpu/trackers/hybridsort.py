@@ -423,11 +423,12 @@ def hybridsort_step(cfg: HybridSortConfig, state: HybridSortState, dets, det_val
     smooth = jnp.where(
         upd_f[:, None], jnp.where(state.has_obs[:, None], sm, f), state.smooth
     )
-    L = cfg.longterm_bank_length
-    bpos = jnp.clip(state.bank_count % L, 0, L - 1)
-    bank = state.bank.at[idx, bpos].set(
-        jnp.where(upd_f[:, None], f, state.bank[idx, bpos])
-    )
+    # push-front + drop-last: the bank feeds an order-insensitive sum
+    # above, so this retains exactly the circular buffer's most-recent-L
+    # set while avoiding a per-row dynamic scatter (catastrophic XLA:TPU
+    # lowering — see the strongsort bank note)
+    pushed = jnp.concatenate([f[:, None, :], state.bank[:, :-1, :]], axis=1)
+    bank = jnp.where(upd_f[:, None, None], pushed, state.bank)
     bank_count = state.bank_count + upd_f.astype(jnp.int32)
 
     # --- bookkeeping

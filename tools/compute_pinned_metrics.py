@@ -25,6 +25,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# share the pytest persistent compile cache (same machine-tag scoping),
+# so this tool warms the suite and vice versa
+sys.path.insert(0, str(REPO / "tests"))
+import conftest  # noqa: E402,F401
+
 import numpy as np  # noqa: E402
 
 
