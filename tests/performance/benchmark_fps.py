@@ -265,7 +265,7 @@ def main(argv=None):
             ("yolox_x", "osnet_x1_0"),  # the benchmark detector/reid class
             ("yolox_s", "osnet_x0_25"),  # latency-tier config
         ):
-            for trk in ("occluboost", "bytetrack"):
+            for trk in ("occluboost", "botsort", "bytetrack"):
                 try:
                     fps = bench_fused(
                         trk, n_frames=args.frames, variant=variant,
