@@ -329,7 +329,20 @@ def main(argv=None):
                     default=str(REPO / "docs" / "artifacts" / "full_scale_parity.json"))
     ap.add_argument("--smoke", action="store_true",
                     help="tiny sequences — harness shakeout only")
+    ap.add_argument("--seqs", default=None,
+                    help="comma list restricting the box sequences (e.g. "
+                    "FS-01) — single-core hosts pay one XLA compile per "
+                    "(tracker, bucket shape); fewer distinct shapes keeps "
+                    "full-scale evidence tractable there")
     args = ap.parse_args(argv)
+    if args.seqs:
+        keep = {s.strip() for s in args.seqs.split(",")}
+        missing = keep - SEQUENCES.keys()
+        if missing:
+            raise SystemExit(f"unknown sequences: {sorted(missing)}")
+        for name in list(SEQUENCES):
+            if name not in keep:
+                del SEQUENCES[name]
     if args.smoke:
         SEQUENCES.clear()
         SEQUENCES["FS-01"] = (60, 8, 11, 640, 360)
@@ -380,8 +393,11 @@ def main(argv=None):
                 indent=1,
             )
         )
+        if not args.smoke:
+            # incremental: each completed tracker lands immediately
+            write_parity_md(results, REPO / "docs" / "parity.md")
     print(json.dumps(results, indent=1))
-    if not args.smoke:
+    if not args.smoke and results:
         write_parity_md(results, REPO / "docs" / "parity.md")
     return results
 
