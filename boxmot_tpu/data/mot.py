@@ -132,12 +132,19 @@ class MOTSequence:
 class MOTDataset:
     """A split directory containing sequence subdirectories."""
 
-    def __init__(self, root: Path):
+    def __init__(self, root: Path, names=None):
+        """names: optional collection restricting iteration to the given
+        sequence names (harnesses that share one on-disk workdir across
+        differently-scoped runs must filter here, not just in their own
+        config dicts — the walk is otherwise whatever is on disk)."""
         self.root = Path(root)
+        keep = None if names is None else set(names)
         self.sequences = [
             MOTSequence(p)
             for p in sorted(self.root.iterdir())
-            if p.is_dir() and (p / "seqinfo.ini").exists()
+            if p.is_dir()
+            and (p / "seqinfo.ini").exists()
+            and (keep is None or p.name in keep)
         ]
 
     def __iter__(self):

@@ -97,6 +97,7 @@ def run_eval(
     n_workers: int = 1,
     progress=None,
     cmc_method: str | None = None,
+    seq_names=None,
 ) -> dict:
     """Evaluate a tracker over all sequences under data_root.
 
@@ -118,7 +119,7 @@ def run_eval(
         load_cached_embs_per_frame,
     )
 
-    dataset = MOTDataset(data_root)
+    dataset = MOTDataset(data_root, names=seq_names)
     if len(dataset) == 0:
         raise ValueError(f"no MOT sequences found under {data_root}")
     tracker_params = dict(tracker_params or {})

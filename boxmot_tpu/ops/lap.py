@@ -43,18 +43,35 @@ def masked_assignment(
 ):
     """Solve masked linear assignment with lapjv cost_limit semantics.
 
-    Max-weight matching is made a *full* assignment by giving every row a
-    private dummy column of weight 0 (the skip/outside option).  This is
-    the standard Bertsekas transformation; it also bounds tie "price
-    wars", because the dummy at value 0 acts as everyone's second-best,
-    making contested bids jump straight to their equilibrium price.
+    Max-weight matching is made a *full* assignment by giving every row an
+    IMPLICIT private dummy option of value 0 (the skip/outside option) —
+    the standard Bertsekas transformation.  The dummy never needs a price
+    (only its own row can take it), so it stays out of the matrices: a row
+    whose best net value drops below 0 retires to its dummy, permanently
+    (prices only rise within the solve, so real options never recover).
+    This keeps every per-iteration tensor at (R, C) instead of (R, C+R).
+
+    A single eps round from zero prices.  Multi-round eps-scaling with
+    carried prices is unsound for this asymmetric (dummy-augmented)
+    formulation: re-auctioning from near-equilibrium prices leaves rows
+    with ~zero net slack everywhere, so ties resolve arbitrarily and
+    valid rows retire against stale prices (Bertsekas' asymmetric
+    variant needs the full lambda/reverse-auction machinery).  Instead,
+    callers that need *full* (max-cardinality) assignments must keep the
+    positive offset on their weights SMALL — see `thresh` below: the
+    auction's surrender depth for rows with no real prospects is
+    (thresh - cost) / eps iterations, which is what made bound+1.0-style
+    offsets stall for thousands of iterations at MOT17 density.
+
+    eps is scaled by the observed weight range (not `thresh`), so the
+    n_rows * eps optimality bound tracks the actual cost scale.
 
     Args:
         cost: (R, C) cost matrix; entries at invalid rows/cols are ignored.
         row_mask: (R,) bool validity of rows.
         col_mask: (C,) bool validity of cols.
         thresh: scalar cost limit; pairs with cost >= thresh never match.
-        max_iters: safety bound on auction iterations per eps round.
+        max_iters: safety bound on auction iterations.
 
     Returns:
         row_to_col: (R,) int32, matched column per row or -1.
@@ -63,65 +80,56 @@ def masked_assignment(
     valid = row_mask[:, None] & col_mask[None, :]
     w = jnp.asarray(thresh, cost.dtype) - cost
     w = jnp.where(valid & (w > 0), w, _NEG)
-    # Augment with R private dummy columns: w[i, C+i] = 0, else -inf.
-    row_ids = jnp.arange(R, dtype=jnp.int32)
-    dummy = jnp.where(row_ids[:, None] == row_ids[None, :], 0.0, _NEG)
-    w = jnp.concatenate([w, dummy.astype(cost.dtype)], axis=1)  # (R, C+R)
-    CA = C + R
-    col_ids = jnp.arange(CA, dtype=jnp.int32)
+    col_ids = jnp.arange(C, dtype=jnp.int32)
+    w_max = jnp.max(jnp.where(jnp.isfinite(w), w, 0.0))
+    eps = jnp.maximum(w_max, 1e-2) * 1e-4
 
-    def run_round(eps, prices):
-        owner0 = jnp.full((CA,), -1, jnp.int32)
-        r2c0 = jnp.where(row_mask, -1, -2)  # -2: permanently out
+    owner0 = jnp.full((C,), -1, jnp.int32)
+    r2c0 = jnp.where(row_mask, -1, -2)  # -2: permanently out
 
-        def cond(state):
-            _, _, r2c, it = state
-            return jnp.any(r2c == -1) & (it < max_iters)
+    def cond(state):
+        _, _, r2c, it = state
+        return jnp.any(r2c == -1) & (it < max_iters)
 
-        def body(state):
-            prices, owner, r2c, it = state
-            unassigned = r2c == -1
-            v = w - prices[None, :]
-            b1 = jnp.max(v, axis=1)
-            jstar = jnp.argmax(v, axis=1).astype(jnp.int32)
-            v2 = jnp.where(col_ids[None, :] == jstar[:, None], _NEG, v)
-            b2 = jnp.max(v2, axis=1)
-            b2 = jnp.where(jnp.isfinite(b2), b2, b1)
-            bid = prices[jstar] + b1 - b2 + eps
+    def body(state):
+        prices, owner, r2c, it = state
+        unassigned = r2c == -1
+        v = w - prices[None, :]
+        b1 = jnp.max(v, axis=1)
+        jstar = jnp.argmax(v, axis=1).astype(jnp.int32)
+        v2 = jnp.where(col_ids[None, :] == jstar[:, None], _NEG, v)
+        b2 = jnp.max(v2, axis=1)
+        # Second-best includes the dummy at value 0.
+        second = jnp.maximum(jnp.where(jnp.isfinite(b2), b2, 0.0), 0.0)
+        # Rows whose best real option is worse than the dummy retire.
+        retire = unassigned & (b1 < 0)
+        r2c = jnp.where(retire, -3, r2c)
+        bidding = unassigned & ~retire
+        bid = prices[jstar] + (b1 - second) + eps
 
-            # Column side: highest bid per column wins (ties -> lowest row).
-            onehot = (col_ids[None, :] == jstar[:, None]) & unassigned[:, None]
-            bids_rc = jnp.where(onehot, bid[:, None], _NEG)
-            col_best = jnp.max(bids_rc, axis=0)
-            col_winner = jnp.argmax(bids_rc, axis=0).astype(jnp.int32)
-            has_bid = col_best > _NEG
+        # Column side: highest bid per column wins (ties -> lowest row).
+        onehot = (col_ids[None, :] == jstar[:, None]) & bidding[:, None]
+        bids_rc = jnp.where(onehot, bid[:, None], _NEG)
+        col_best = jnp.max(bids_rc, axis=0)
+        col_winner = jnp.argmax(bids_rc, axis=0).astype(jnp.int32)
+        has_bid = col_best > _NEG
 
-            new_prices = jnp.where(has_bid, col_best, prices)
-            new_owner = jnp.where(has_bid, col_winner, owner)
+        new_prices = jnp.where(has_bid, col_best, prices)
+        new_owner = jnp.where(has_bid, col_winner, owner)
 
-            # Dethrone previous owners of re-auctioned columns.
-            deth_rows = jnp.where(has_bid & (owner >= 0), owner, R)
-            r2c = r2c.at[deth_rows].set(-1, mode="drop")
-            # Install winners.
-            win_rows = jnp.where(has_bid, col_winner, R)
-            r2c = r2c.at[win_rows].set(col_ids, mode="drop")
-            return new_prices, new_owner, r2c, it + 1
+        # Dethrone previous owners of re-auctioned columns.
+        deth_rows = jnp.where(has_bid & (owner >= 0), owner, R)
+        r2c = r2c.at[deth_rows].set(-1, mode="drop")
+        # Install winners.
+        win_rows = jnp.where(has_bid, col_winner, R)
+        r2c = r2c.at[win_rows].set(col_ids, mode="drop")
+        return new_prices, new_owner, r2c, it + 1
 
-        prices, _, r2c, _ = jax.lax.while_loop(
-            cond, body, (prices, owner0, r2c0, jnp.int32(0))
-        )
-        return prices, r2c
-
-    # Single round with a fine eps.  Multi-round eps-scaling with carried
-    # prices is unsound for asymmetric problems (unassigned real columns
-    # keep inflated prices, breaking the duality bound) and the private
-    # dummies already prevent tie price-wars, so one fine round converges
-    # quickly AND is within R*eps of optimal.
-    prices = jnp.zeros((CA,), cost.dtype)
-    eps = jnp.maximum(jnp.asarray(thresh, cost.dtype), 1e-2) * 1e-4
-    _, r2c = run_round(eps, prices)
-    # Keep only real, eligible matches.
-    matched_real = (r2c >= 0) & (r2c < C)
+    prices = jnp.zeros((C,), cost.dtype)
+    _, _, r2c, _ = jax.lax.while_loop(
+        cond, body, (prices, owner0, r2c0, jnp.int32(0))
+    )
+    matched_real = r2c >= 0
     return jnp.where(matched_real, r2c, -1).astype(jnp.int32)
 
 

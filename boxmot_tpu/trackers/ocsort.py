@@ -123,10 +123,24 @@ def init_state(cfg: OcSortConfig) -> OcSortState:
 
 def _full_assignment(cost, row_mask, col_mask):
     """Full (max-cardinality, min-cost) assignment over valid pairs —
-    lap.lapjv(extend_cost=True) semantics without a cost limit."""
-    bound = jnp.max(jnp.where(row_mask[:, None] & col_mask[None, :], cost, -jnp.inf))
-    bound = jnp.where(jnp.isfinite(bound), bound, 0.0)
-    return masked_assignment(cost, row_mask, col_mask, bound + 1.0)
+    lap.lapjv(extend_cost=True) semantics without a cost limit.
+
+    Offsetting weights by ANY positive delta makes max-weight matching on
+    the complete valid-pair graph maximum-cardinality (every augmenting
+    edge adds >= delta) and, at max cardinality, min-cost — i.e. exactly
+    lapjv's full assignment.  delta is kept SMALL relative to the cost
+    range because the auction's surrender depth for hopeless rows is
+    delta/eps iterations (masked_assignment docstring): the former +1.0
+    offset stalled for ~10k iterations/frame at MOT17 density (60 lost
+    tracks grinding prices on a handful of columns), hitting max_iters
+    and silently dropping real matches."""
+    valid = row_mask[:, None] & col_mask[None, :]
+    hi = jnp.max(jnp.where(valid, cost, -jnp.inf))
+    lo = jnp.min(jnp.where(valid, cost, jnp.inf))
+    hi = jnp.where(jnp.isfinite(hi), hi, 0.0)
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+    delta = jnp.maximum(hi - lo, 1e-2) * 1e-2
+    return masked_assignment(cost, row_mask, col_mask, hi + delta)
 
 
 def _unique_shortcut(iou, row_mask, col_mask, thresh):

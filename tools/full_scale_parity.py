@@ -118,7 +118,7 @@ def build_dataset(workdir: Path) -> tuple[Path, Path]:
     return box_root, mask_root
 
 
-def build_caches(root: Path, cache_root: Path, with_masks: bool):
+def build_caches(root: Path, cache_root: Path, with_masks: bool, names=None):
     """Shared det + identity-keyed emb (+ packed mask) caches."""
     from boxmot_tpu.data.cache import (
         AppendableNpyWriter,
@@ -138,7 +138,7 @@ def build_caches(root: Path, cache_root: Path, with_masks: bool):
         return bases[gid]
 
     rng = np.random.default_rng(7)
-    for seq in MOTDataset(root):
+    for seq in MOTDataset(root, names=names):
         dp = det_cache_path(cache_root, DETECTOR, seq.name)
         if dp.exists():
             continue
@@ -222,7 +222,9 @@ def _box_masks(dets, hw):
     return m
 
 
-def run_repo(root: Path, cache_root: Path, tracker: str, out: Path) -> dict:
+def run_repo(
+    root: Path, cache_root: Path, tracker: str, out: Path, names=None
+) -> dict:
     from boxmot_tpu.engine.eval import run_eval
 
     needs_embs = REF_SPECS[tracker][2]
@@ -234,11 +236,12 @@ def run_repo(root: Path, cache_root: Path, tracker: str, out: Path) -> dict:
         reid=REID if needs_embs else None,
         output_dir=out,
         tracker_params={"feat_dim": DIM} if needs_embs else None,
+        seq_names=names,
     )
     return {k: float(res["combined"][k]) for k in ("HOTA", "MOTA", "IDF1")}
 
 
-def run_reference(root: Path, cache_root: Path, tracker: str) -> dict:
+def run_reference(root: Path, cache_root: Path, tracker: str, names=None) -> dict:
     """Reference trackers fed the identical cached rows, scored by the
     repo metric stack."""
     from tests.refshim import load_reference
@@ -265,7 +268,7 @@ def run_reference(root: Path, cache_root: Path, tracker: str) -> dict:
     if needs_embs:
         kwargs = {**kwargs, "reid_model": _NoReID()} if "with_reid" in kwargs else kwargs
     seq_data = {}
-    for seq in MOTDataset(root):
+    for seq in MOTDataset(root, names=names):
         dets_pf = load_cached_dets_per_frame(
             det_cache_path(cache_root, DETECTOR, seq.name), seq.seq_length
         )
@@ -356,30 +359,45 @@ def main(argv=None):
     box_root, mask_root = build_dataset(workdir)
     cache_box = workdir / "cache-box"
     cache_mask = workdir / "cache-mask"
-    build_caches(box_root, cache_box, with_masks=False)
-    build_caches(mask_root, cache_mask, with_masks=True)
+    # The kept-name sets are threaded through EVERY dataset walk below:
+    # the workdir may hold sequences from earlier differently-scoped runs
+    # and MOTDataset iterates whatever is on disk.
+    box_names = sorted(SEQUENCES)
+    mask_names = sorted(MASK_SEQ)
+    build_caches(box_root, cache_box, with_masks=False, names=box_names)
+    build_caches(mask_root, cache_mask, with_masks=True, names=mask_names)
 
     results = {}
     json_path = Path(args.json_path)
     if json_path.exists():
         results = json.loads(json_path.read_text()).get("trackers", {})
     for tracker in [t.strip() for t in args.trackers.split(",") if t.strip()]:
-        if tracker in results:
-            print(f"[skip] {tracker} (already recorded)")
-            continue
+        names = mask_names if tracker == "sam2mot" else box_names
+        prior = results.get(tracker)
+        if prior is not None:
+            # resume only when the recorded per-tracker provenance matches
+            # this run's sequence set — never merge differently-scoped runs
+            if prior.get("sequences") == names:
+                print(f"[skip] {tracker} (already recorded for {names})")
+                continue
+            print(
+                f"[redo] {tracker}: recorded sequences "
+                f"{prior.get('sequences')} != current {names}"
+            )
         root = mask_root if tracker == "sam2mot" else box_root
         cache = cache_mask if tracker == "sam2mot" else cache_box
         t0 = time.time()
-        repo = run_repo(root, cache, tracker, workdir / "out" / tracker)
+        repo = run_repo(root, cache, tracker, workdir / "out" / tracker, names)
         t_repo = time.time() - t0
         t0 = time.time()
-        ref = run_reference(root, cache, tracker)
+        ref = run_reference(root, cache, tracker, names)
         t_ref = time.time() - t0
         results[tracker] = {
             "repo": repo,
             "reference": ref,
             "delta": {k: round(repo[k] - ref[k], 6) for k in repo},
             "seconds": {"repo": round(t_repo, 1), "reference": round(t_ref, 1)},
+            "sequences": names,
         }
         print(f"[done] {tracker}: repo={repo} ref={ref}")
         json_path.parent.mkdir(parents=True, exist_ok=True)
@@ -397,8 +415,10 @@ def main(argv=None):
             # incremental: each completed tracker lands immediately
             write_parity_md(results, REPO / "docs" / "parity.md")
     print(json.dumps(results, indent=1))
-    if not args.smoke and results:
-        write_parity_md(results, REPO / "docs" / "parity.md")
+    md = REPO / "docs" / "parity.md"
+    if not args.smoke and results and not md.exists():
+        # all-skipped resume on a checkout that never had the md
+        write_parity_md(results, md)
     return results
 
 
