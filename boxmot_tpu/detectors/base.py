@@ -22,6 +22,11 @@ class Detections:
     masks: np.ndarray | None = None  # (N, H, W)
     is_obb: bool = False
     xywha: np.ndarray | None = None  # (N, 5) when is_obb
+    # Pose models: (N, K, 3) keypoints riding alongside the boxes.  The
+    # reference adapter tracks pose models through result.boxes alone
+    # (ultralytics.py:173-190 extracts no keypoints); carrying them here
+    # lets callers re-associate keypoints to tracks via det index.
+    keypoints: np.ndarray | None = None
 
     def as_dets(self) -> np.ndarray:
         """Tracker input layout: (N, 6) AABB or (N, 7) OBB."""

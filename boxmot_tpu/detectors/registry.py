@@ -64,6 +64,9 @@ class UltralyticsDetector(BaseDetectorBackend):
         at 0.5 to uint8, ultralytics.py:183-189)
       * OBB models     -> result.obb {xywhr, conf, cls} -> (N,7) dets
         (ultralytics.py:166-172)
+      * pose models    -> result.boxes as usual (the reference tracks
+        pose models through their boxes, ci.yml:398-424) + keypoints
+        carried on Detections.keypoints for track re-association
     """
 
     def __init__(self, weights, device=None, half=False, conf=0.25,
@@ -81,7 +84,8 @@ class UltralyticsDetector(BaseDetectorBackend):
                 raise ImportError(
                     "ultralytics is not installed in this environment; install "
                     "it, use the vendored predictor (--detector yololite[-seg|"
-                    "-obb]), or replay cached detections (--detector public)"
+                    "-obb|-pose]), or replay cached detections "
+                    "(--detector public)"
                 ) from exc
             self.model = YOLO(str(weights))
         self.conf = conf
@@ -140,11 +144,16 @@ class UltralyticsDetector(BaseDetectorBackend):
         raw_masks = getattr(raw, "masks", None)
         if raw_masks is not None and len(raw_masks) > 0:
             masks = (_as_numpy(raw_masks.data) > 0.5).astype(np.uint8)
+        keypoints = None
+        raw_kpts = getattr(raw, "keypoints", None)
+        if raw_kpts is not None and len(raw_kpts) > 0:
+            keypoints = _as_numpy(raw_kpts.data)  # (N, K, 3)
         return Detections(
             xyxy=_as_numpy(boxes.xyxy),
             conf=_as_numpy(boxes.conf).reshape(-1),
             cls=_as_numpy(boxes.cls).reshape(-1),
             masks=masks,
+            keypoints=keypoints,
         )
 
 

@@ -15,6 +15,7 @@ exposes:
     result.boxes.{xyxy, conf, cls}
     result.masks.data          # (N, H, W) float, input resolution
     result.obb.{xywhr, conf, cls}
+    result.keypoints.{data, xy, conf}   # (N, K, 3) / (N, K, 2) / (N, K)
 
 It is NOT a weight-compatible ultralytics port — it exists so the
 adapter path is exercised end-to-end by a real forward pass, and as an
@@ -33,6 +34,7 @@ import numpy as np
 IMGSZ = 256  # square inference size (letterboxed)
 STRIDE = 16
 N_PROTO = 8
+N_KPT = 17  # COCO keypoint schema (what yolov8*-pose emits)
 
 
 def _build(task: str, nc: int):
@@ -72,6 +74,8 @@ def _build(task: str, nc: int):
                 p = ConvBNSiLU(32)(feats[2])
                 out["proto"] = nn.Conv(N_PROTO, (1, 1))(p)  # (H/8, W/8, P)
                 out["coef"] = nn.Conv(N_PROTO, (1, 1))(ConvBNSiLU(32)(f))
+            if self.task == "pose":
+                out["kpt"] = nn.Conv(N_KPT * 3, (1, 1))(ConvBNSiLU(64)(f))
             return out
 
     return LiteNet(task=task, nc=nc)
@@ -101,13 +105,28 @@ class _Obb:
         return len(self.conf)
 
 
+class _Keypoints:
+    """ultralytics ``Keypoints`` surface: data (N,K,3), xy (N,K,2),
+    conf (N,K)."""
+
+    def __init__(self, data):
+        self.data = data
+        self.xy = data[..., :2]
+        self.conf = data[..., 2]
+
+    def __len__(self):
+        return len(self.data)
+
+
 class LiteResults:
     """One frame's predictions, ultralytics-Results-shaped."""
 
-    def __init__(self, boxes=None, masks=None, obb=None, orig_shape=None):
+    def __init__(self, boxes=None, masks=None, obb=None, keypoints=None,
+                 orig_shape=None):
         self.boxes = boxes
         self.masks = masks
         self.obb = obb
+        self.keypoints = keypoints
         self.orig_shape = orig_shape
 
 
@@ -125,6 +144,8 @@ class LiteYOLO:
             self.task = "segment"
         elif "-obb" in stem or "_obb" in stem:
             self.task = "obb"
+        elif "-pose" in stem or "_pose" in stem:
+            self.task = "pose"
         else:
             self.task = "detect"
         self.nc = nc
@@ -190,6 +211,16 @@ class LiteYOLO:
                 res["masks"] = jax.image.resize(
                     m, (max_out, IMGSZ, IMGSZ), method="bilinear"
                 )
+            if task == "pose":
+                kpt = out["kpt"][0].reshape(-1, N_KPT, 3)
+                # anchor-relative decode (yolov8-pose convention: xy may
+                # fall up to one cell outside its anchor)
+                kxy = (jax.nn.sigmoid(kpt[..., :2]) * 4.0 - 1.5) * STRIDE
+                kxy = kxy + grid[:, None, :] * STRIDE
+                kconf = jax.nn.sigmoid(kpt[..., 2])
+                res["kpts"] = jnp.concatenate(
+                    [kxy, kconf[..., None]], -1
+                )[keep_idx]  # (max_out, K, 3)
             return res
 
         self._program = _predict
@@ -245,6 +276,12 @@ class LiteYOLO:
                 result.boxes = _Boxes(xyxy, score, cls)
             else:
                 result.boxes = _Boxes(xyxy, score, cls)
+                if self.task == "pose":
+                    k = np.asarray(res["kpts"])[keep]
+                    k[..., :2] /= r
+                    k[..., 0] = k[..., 0].clip(0, w0)
+                    k[..., 1] = k[..., 1].clip(0, h0)
+                    result.keypoints = _Keypoints(k.astype(np.float32))
                 if self.task == "segment":
                     n = int(keep.sum())
                     m = np.asarray(res["masks"])[keep]

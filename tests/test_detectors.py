@@ -506,3 +506,36 @@ class TestYoloLiteAdapter:
         frame = self._frame(5)
         res = trk.update(det(frame).as_dets(), frame)
         assert res.ndim == 2 and res.shape[1] == 8
+
+    def test_pose_keypoints_surface(self):
+        """Pose stems route like the reference CI's yolov8n-pose runs
+        (ci.yml:398-424): boxes track as usual, keypoints ride along
+        as (N, 17, 3) in original-image coordinates."""
+        det = create_detector("yololite-pose.pt", conf=0.05)
+        frame = self._frame(6)
+        out = det(frame)
+        assert not out.is_obb and out.masks is None
+        dets = out.as_dets()
+        assert dets.shape == (len(out), 6)
+        if len(out) == 0:
+            return
+        k = out.keypoints
+        assert k is not None and k.shape == (len(out), 17, 3)
+        assert k[..., 0].min() >= 0 and k[..., 0].max() <= 320
+        assert k[..., 1].min() >= 0 and k[..., 1].max() <= 240
+        assert (k[..., 2] >= 0).all() and (k[..., 2] <= 1).all()
+
+    def test_pose_feeds_tracker_and_reassociates(self):
+        from boxmot_tpu.trackers.zoo import create_tracker
+
+        det = create_detector("yololite-pose.pt", conf=0.05)
+        trk = create_tracker("bytetrack")
+        frame = self._frame(7)
+        out = det(frame)
+        res = trk.update(out.as_dets(), frame)
+        assert res.ndim == 2 and res.shape[1] == 8
+        if len(res) and out.keypoints is not None:
+            # det_ind recovers each track's keypoints
+            idx = res.det_ind.astype(int)
+            assert (idx >= 0).all() and (idx < len(out)).all()
+            assert out.keypoints[idx].shape == (len(res), 17, 3)

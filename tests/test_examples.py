@@ -57,6 +57,29 @@ def test_seg_mask_tracking(capsys, tmp_path):
     assert "masks ->" in out, out
 
 
+def test_pose_tracking_fixture_replay(capsys):
+    mod = _load("pose/pose_tracking.py")
+    mod.main(["--max-frames", "8"])
+    out = capsys.readouterr().out
+    assert "synthetic keypoints" in out
+    # keypoint sets must re-associate onto emitted tracks
+    assert any(
+        line.startswith("frame") and " keypoint sets" in line
+        and not line.split("tracks, ")[1].startswith(" 0")
+        for line in out.splitlines()
+    ), out
+
+
+@pytest.mark.slow
+def test_pose_tracking_liteyolo_detector(capsys):
+    """The vendored pose head end-to-end (mirrors the reference CI's
+    `boxmot track --detector yolov8n-pose.pt`, ci.yml:398-424)."""
+    mod = _load("pose/pose_tracking.py")
+    mod.main(["--max-frames", "2", "--detector", "yololiten-pose.pt"])
+    out = capsys.readouterr().out
+    assert "pose model: yololiten-pose.pt" in out
+
+
 @pytest.mark.slow
 def test_det_example_saves_video(tmp_path):
     cv2 = pytest.importorskip("cv2")
