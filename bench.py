@@ -199,10 +199,15 @@ def bench_reference_occluboost():
         def get_features(self, *a, **k):  # pragma: no cover
             raise AssertionError("unexpected reid model call")
 
+    # CMC explicitly OFF: the TPU replay side passes no warps, and the
+    # synthetic frames are untextured zeros on which cv2 ECC can only
+    # fail (it spammed "did not converge" warnings and measured the
+    # identity-fallback path, not a real warp).  With use_cmc=False the
+    # two sides run the same no-CMC program.
     with contextlib.redirect_stdout(io.StringIO()):
-        trk = RefOccluBoost(with_reid=True, reid_model=_NoReID())
+        trk = RefOccluBoost(with_reid=True, reid_model=_NoReID(), use_cmc=False)
         trk.update(frames[0], img, embs[0])
-        trk = RefOccluBoost(with_reid=True, reid_model=_NoReID())
+        trk = RefOccluBoost(with_reid=True, reid_model=_NoReID(), use_cmc=False)
     pairs = list(zip(frames, embs))
     samples = []
     for _ in range(3):

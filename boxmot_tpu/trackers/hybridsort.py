@@ -35,7 +35,7 @@ import numpy as np
 from flax import struct
 
 from boxmot_tpu.motion import kalman
-from boxmot_tpu.ops.iou import iou_batch
+from boxmot_tpu.ops.iou import get_asso_func, iou_batch
 from boxmot_tpu.trackers.base import BaseTracker
 from boxmot_tpu.trackers.botsort import IDENTITY_WARP
 from boxmot_tpu.trackers.ocsort import MAX_ORU, _full_assignment, _unique_shortcut
@@ -226,7 +226,14 @@ def hybridsort_step(cfg: HybridSortConfig, state: HybridSortState, dets, det_val
         found = found | hit
 
     # --- pass 1: 4-corner velocity + TCM (+ optional EG)
-    iou1 = iou_batch(trk_box, det_box)  # (K, D)
+    # Every association stage uses the CONFIGURED function, matching the
+    # reference's ASSO_FUNCS[self.asso_func_name] at each call site
+    # (hybridsort.py:568,590,610,648) — the tuned YAML tier runs diou,
+    # whose rescaled [0,1] range admits zero-overlap matches below the
+    # gate, so silently substituting plain IoU changes ghost-track
+    # dynamics at MOT17 density (round-5 full-scale bisection).
+    asso = get_asso_func(cfg.asso_func)
+    iou1 = asso(trk_box, det_box)  # (K, D)
     angle_cost = jnp.zeros((K, D), jnp.float32)
     valid_vel = (k_obs[:, 4] >= 0)[:, None]
     for ci, corner in enumerate(CORNERS):
@@ -289,7 +296,7 @@ def hybridsort_step(cfg: HybridSortConfig, state: HybridSortState, dets, det_val
     # --- BYTE pass (hybridsort.py:607-650)
     if cfg.use_byte:
         rows2 = active & ~matched
-        iou2 = iou_batch(trk_box, det_box)
+        iou2 = asso(trk_box, det_box)
         iou2_thre = iou2
         cost2 = -iou2
         if cfg.TCM_byte_step:
@@ -315,7 +322,7 @@ def hybridsort_step(cfg: HybridSortConfig, state: HybridSortState, dets, det_val
     # --- final chance: leftover first dets vs last observations
     rows3 = active & ~matched
     cols3 = first & ~dm
-    iou3 = iou_batch(state.last_obs[:, :4], det_box)
+    iou3 = asso(state.last_obs[:, :4], det_box)
     gate3 = (
         jnp.max(jnp.where(rows3[:, None] & cols3[None, :], iou3, -jnp.inf))
         > cfg.iou_threshold

@@ -180,6 +180,10 @@ def main(argv=None):
     ap.add_argument("--repeat", type=int, default=20)
     ap.add_argument("--json", dest="json_path", default=None)
     ap.add_argument("--skip-host", action="store_true")
+    ap.add_argument("--half", action="store_true",
+                    help="bf16 params + activations (the deployment "
+                    "configuration; fp32 convs run far below the MXU's "
+                    "bf16 peak, which MFU is normalized against)")
     args = ap.parse_args(argv)
     models = [m.strip() for m in args.models.split(",") if m.strip()]
     counts = [int(c) for c in args.counts.split(",") if c.strip()]
@@ -191,7 +195,7 @@ def main(argv=None):
 
     rows = []
     for m in models:
-        reid = ReID(model_name=m)
+        reid = ReID(model_name=m, half=args.half)
         for n in counts:
             boxes = _boxes(rng, n)
             flops = model_flops(reid, img, boxes)
@@ -201,6 +205,7 @@ def main(argv=None):
             mfu = tflops * 1e12 / V5E_BF16_PEAK_FLOPS if flops else 0.0
             row = {
                 "model": m,
+                "half": bool(args.half),
                 "crops": n,
                 "ms_per_frame_device": round(dt * 1e3, 3),
                 "ms_per_frame_sync": round(dt_sync * 1e3, 3),

@@ -94,6 +94,9 @@ class _NoReID:
     def get_features(self, *a, **k):  # pragma: no cover
         raise AssertionError("reid model must not be consulted when embs given")
 
+    def warmup(self):  # the reference zoo warms tracker.model up-front
+        pass
+
 
 def build_dataset(workdir: Path) -> tuple[Path, Path]:
     from boxmot_tpu.data.synth import mot17_scale_scenario, write_sequence
@@ -244,11 +247,24 @@ def run_repo(
 def run_reference(root: Path, cache_root: Path, tracker: str, names=None) -> dict:
     """Reference trackers fed the identical cached rows, scored by the
     repo metric stack."""
-    from tests.refshim import load_reference
+    from tests.refshim import load_reference, stub_missing_modules
 
     load_reference()
-    import boxmot.trackers as RT
-
+    # tracker_zoo -> boxmot.reid.core pulls download/ONNX tooling absent
+    # here; none of it runs when a prebuilt reid_model is injected
+    stub_missing_modules(
+        "gdown", "onnxruntime", "torchvision.transforms", "ftfy", "regex"
+    )
+    # the reid import chain instantiates CLIP's tokenizer and transform
+    # pipeline at module import; give the stubs the names touched there
+    # (nothing CLIP-related ever executes with an injected reid_model)
+    _tv = sys.modules["torchvision.transforms"]
+    for _n in ("CenterCrop", "Compose", "Normalize", "Resize", "ToTensor"):
+        if not hasattr(_tv, _n):
+            setattr(_tv, _n, lambda *a, **k: None)
+    _rx = sys.modules["regex"]
+    if not hasattr(_rx, "compile"):
+        _rx.compile = lambda *a, **k: None
     from boxmot_tpu.data.cache import (
         det_cache_path,
         emb_cache_path,
@@ -264,9 +280,7 @@ def run_reference(root: Path, cache_root: Path, tracker: str, names=None) -> dic
     )
     from boxmot_tpu.engine.mot_io import convert_to_mot_format
 
-    cls_name, kwargs, needs_embs, needs_masks = REF_SPECS[tracker]
-    if needs_embs:
-        kwargs = {**kwargs, "reid_model": _NoReID()} if "with_reid" in kwargs else kwargs
+    _, _, needs_embs, needs_masks = REF_SPECS[tracker]
     seq_data = {}
     for seq in MOTDataset(root, names=names):
         dets_pf = load_cached_dets_per_frame(
@@ -292,7 +306,17 @@ def run_reference(root: Path, cache_root: Path, tracker: str, names=None) -> dic
         )
         img = np.zeros((*hw, 3), np.uint8)
         with contextlib.redirect_stdout(io.StringIO()):
-            trk = getattr(RT, cls_name)(**kwargs)
+            # Build through the reference's OWN zoo so its YAML defaults
+            # apply (tracker_zoo.py:108-145 — the published benchmark
+            # pipeline resolves configs/trackers/<name>.yaml, NOT class
+            # defaults; bare constructors here skewed e.g. strongsort to
+            # min_conf 0.1 vs the 0.6 both eval pipelines actually use).
+            from boxmot.trackers.tracker_zoo import create_tracker as ref_create
+
+            trk = ref_create(
+                tracker,
+                reid_model=_NoReID() if needs_embs else None,
+            )
         rows = []
         for f in range(seq.seq_length):
             dets = dets_pf[f]
