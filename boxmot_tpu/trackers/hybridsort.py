@@ -427,9 +427,12 @@ def hybridsort_step(cfg: HybridSortConfig, state: HybridSortState, dets, det_val
         sm = cfg.alpha * state.smooth + (1 - cfg.alpha) * f
     sm = sm / jnp.maximum(jnp.linalg.norm(sm, axis=-1, keepdims=True), 1e-12)
     upd_f = feat_upd & cfg.with_reid
-    smooth = jnp.where(
-        upd_f[:, None], jnp.where(state.has_obs[:, None], sm, f), state.smooth
-    )
+    # EMA/adapfs on EVERY pass-1 match: the reference seeds smooth_feat at
+    # construction (hybridsort.py:174 update_features in __init__), so the
+    # "first feature" full-replacement branch never runs post-birth — a
+    # never-yet-observed ghost keeps ~92% of its birth identity here,
+    # which is what lets it re-grab same-identity clutter much later.
+    smooth = jnp.where(upd_f[:, None], sm, state.smooth)
     # push-front + drop-last: the bank feeds an order-insensitive sum
     # above, so this retains exactly the circular buffer's most-recent-L
     # set while avoiding a per-row dynamic scatter (catastrophic XLA:TPU
