@@ -249,6 +249,7 @@ _NATIVE_KEYS = {
         "track_thresh",
         "TCM_byte_step",
         "TCM_byte_step_weight",
+        "asso_code",
         "capacity",
     ),
     "occluboost": (
@@ -344,6 +345,17 @@ class NativeTracker:
                 "native ocsort supports asso_func='iou' only "
                 "(matching the reference native core, docs/native/index.md:31)"
             )
+        if tracker_type == "hybridsort":
+            # numeric-coded for the C config string (slot_common.hpp
+            # AssoCode); hybridsort's YAML tier defaults to diou, and the
+            # device step honors it at every pass, so the core must too
+            codes = {"iou": 0, "giou": 1, "diou": 2, "ciou": 3, "hmiou": 4}
+            if asso not in codes:
+                raise ValueError(
+                    f"native hybridsort supports asso_func in {sorted(codes)}; "
+                    f"got {asso!r}"
+                )
+            params["asso_code"] = codes[asso]
         if params.get("reid_model") is not None:
             raise ValueError(
                 f"native {tracker_type} embeds nothing itself; pass "

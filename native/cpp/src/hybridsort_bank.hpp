@@ -37,6 +37,7 @@ struct HybridSortConfig {
     float track_thresh = 0.5f;
     bool tcm_byte_step = true;
     float tcm_byte_step_weight = 1.0f;
+    int asso_code = kAssoIoU;  // numeric asso_func (slot_common.hpp)
     int capacity = 256;
 
     static HybridSortConfig from_string(const char* s) {
@@ -54,6 +55,7 @@ struct HybridSortConfig {
         c.tcm_byte_step = cfg_get(kv, "TCM_byte_step", 1.0) != 0.0;
         c.tcm_byte_step_weight =
             static_cast<float>(cfg_get(kv, "TCM_byte_step_weight", c.tcm_byte_step_weight));
+        c.asso_code = static_cast<int>(cfg_get(kv, "asso_code", c.asso_code));
         c.capacity = static_cast<int>(cfg_get(kv, "capacity", c.capacity));
         return c;
     }
@@ -158,8 +160,9 @@ class HybridSortCore {
         for (int i = 0; i < K; ++i) {
             if (!active_[i]) continue;
             for (int64_t j = 0; j < n; ++j)
-                iou1[static_cast<size_t>(i) * n + j] =
-                    iou_xyxy(&trk_box[static_cast<size_t>(i) * 4], &dets[j * 6]);
+                iou1[static_cast<size_t>(i) * n + j] = asso_xyxy(
+                    cfg_.asso_code, &trk_box[static_cast<size_t>(i) * 4],
+                    &dets[j * 6]);
         }
         std::vector<int32_t> r2c1 =
             associate_pass1(iou1, k_obs, kal_score, dets, n, first);
@@ -216,7 +219,9 @@ class HybridSortCore {
             for (int i = 0; i < K; ++i) {
                 if (!rows3[i]) continue;
                 for (int64_t j = 0; j < n; ++j) {
-                    float v = iou_xyxy(&last_obs_[static_cast<size_t>(i) * 5], &dets[j * 6]);
+                    float v = asso_xyxy(cfg_.asso_code,
+                                        &last_obs_[static_cast<size_t>(i) * 5],
+                                        &dets[j * 6]);
                     iou3[static_cast<size_t>(i) * n + j] = v;
                     if (cols3[static_cast<size_t>(j)]) best = std::max(best, v);
                 }

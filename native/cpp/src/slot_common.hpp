@@ -71,6 +71,69 @@ inline float iou_xyxy(const float* a, const float* b) {
 }
 
 // ---------------------------------------------------------------------
+// Association-function family over xyxy boxes, numeric-coded so cores
+// can honor the configured asso_func (mirrors boxmot_tpu/ops/iou.py
+// ASSO_FUNCS; codes assigned by boxmot_tpu/native/trackers.py).
+// giou/diou/ciou are rescaled from (-1,1] to (0,1] exactly like the
+// device versions so thresholds compare in the same space.
+// ---------------------------------------------------------------------
+enum AssoCode : int {
+    kAssoIoU = 0,
+    kAssoGIoU = 1,
+    kAssoDIoU = 2,
+    kAssoCIoU = 3,
+    kAssoHMIoU = 4,
+};
+
+inline float asso_xyxy(int code, const float* a, const float* b) {
+    float xx1 = std::max(a[0], b[0]);
+    float yy1 = std::max(a[1], b[1]);
+    float xx2 = std::min(a[2], b[2]);
+    float yy2 = std::min(a[3], b[3]);
+    float inter = std::max(0.0f, xx2 - xx1) * std::max(0.0f, yy2 - yy1);
+    float area_a = (a[2] - a[0]) * (a[3] - a[1]);
+    float area_b = (b[2] - b[0]) * (b[3] - b[1]);
+    float uni = std::max(area_a + area_b - inter, 1e-12f);
+    float iou = inter / uni;
+    if (code == kAssoIoU) return iou;
+    if (code == kAssoHMIoU) {
+        // height-modulated IoU (ops/iou.py hmiou_batch)
+        float o1 = std::min(a[3], b[3]) - std::max(a[1], b[1]);
+        float o2 = std::max(a[3], b[3]) - std::min(a[1], b[1]);
+        float hm = std::max(0.0f, o1) / std::max(o2, 1e-12f);
+        return hm * iou;
+    }
+    float xc1 = std::min(a[0], b[0]);
+    float yc1 = std::min(a[1], b[1]);
+    float xc2 = std::max(a[2], b[2]);
+    float yc2 = std::max(a[3], b[3]);
+    if (code == kAssoGIoU) {
+        float enc = std::max((xc2 - xc1) * (yc2 - yc1), 1e-12f);
+        float giou = iou - (enc - uni) / enc;
+        return (giou + 1.0f) / 2.0f;
+    }
+    float cxa = (a[0] + a[2]) * 0.5f, cya = (a[1] + a[3]) * 0.5f;
+    float cxb = (b[0] + b[2]) * 0.5f, cyb = (b[1] + b[3]) * 0.5f;
+    float inner = (cxa - cxb) * (cxa - cxb) + (cya - cyb) * (cya - cyb);
+    float ow = xc2 - xc1, oh = yc2 - yc1;
+    float outer = std::max(ow * ow + oh * oh, 1e-12f);
+    if (code == kAssoDIoU) {
+        float diou = iou - inner / outer;
+        return (diou + 1.0f) / 2.0f;
+    }
+    // ciou (ops/iou.py ciou_batch — note the +alpha*v sign there,
+    // mirroring the reference's iou.py:277-343)
+    float wa = std::max(a[2] - a[0], 1e-12f), ha = std::max(a[3] - a[1], 1e-12f);
+    float wb = std::max(b[2] - b[0], 1e-12f), hb = std::max(b[3] - b[1], 1e-12f);
+    float v = 4.0f / (static_cast<float>(M_PI) * static_cast<float>(M_PI));
+    float d = std::atan(wb / hb) - std::atan(wa / ha);
+    v *= d * d;
+    float alpha = v / std::max(1.0f - iou + v, 1e-12f);
+    float ciou = iou - inner / outer + alpha * v;
+    return (ciou + 1.0f) / 2.0f;
+}
+
+// ---------------------------------------------------------------------
 // Masked linear assignment with lapjv cost_limit semantics over slot
 // rows and detection columns: builds the compact valid submatrix, solves
 // exactly with the shared JV (bmt_lapjv), and scatters back to slot

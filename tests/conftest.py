@@ -37,7 +37,21 @@ import platform
 
 
 def _machine_tag() -> str:
-    bits = [platform.machine(), platform.processor() or ""]
+    # jax/jaxlib versions are part of the key: XLA:CPU AOT entries also
+    # embed compiler-chosen pseudo-features (+prefer-no-scatter/gather)
+    # that drift across jaxlib releases, and a dir mixing entries from
+    # two XLA builds spams "Target machine feature +X is not supported"
+    # loader errors (and risks the in-run backend_compile_and_load
+    # segfault flake) even on the very same CPU.
+    import jax as _jax
+    import jaxlib as _jaxlib
+
+    bits = [
+        platform.machine(),
+        platform.processor() or "",
+        _jax.__version__,
+        getattr(_jaxlib, "__version__", ""),
+    ]
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:

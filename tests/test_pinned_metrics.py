@@ -34,12 +34,26 @@ PINNED = {
     ("mot17_mini", "ocsort"): {"HOTA": 0.651511, "MOTA": 0.488208, "IDF1": 0.656101},
     ("mot17_mini", "sfsort"): {"HOTA": 0.654495, "MOTA": 0.497642, "IDF1": 0.664567},
     ("mot17_mini", "botsort"): {"HOTA": 0.652681, "MOTA": 0.495283, "IDF1": 0.662461},
+    ("mot17_mini", "deepocsort"): {"HOTA": 0.652269, "MOTA": 0.492925, "IDF1": 0.660348},
+    ("mot17_mini", "strongsort"): {"HOTA": 0.466670, "MOTA": 0.341981, "IDF1": 0.509666},
+    ("mot17_mini", "boosttrack"): {"HOTA": 0.649366, "MOTA": 0.495283, "IDF1": 0.662461},
+    ("mot17_mini", "occluboost"): {"HOTA": 0.649804, "MOTA": 0.492925, "IDF1": 0.660348},
+    ("mot17_mini", "hybridsort"): {"HOTA": 0.653064, "MOTA": 0.497642, "IDF1": 0.664567},
+    ("mot17_mini", "sam2mot"): {"HOTA": 0.658509, "MOTA": 0.504717, "IDF1": 0.672897},
     ("mot17_mini", "bytetrack:cpp"): {"HOTA": 0.649859, "MOTA": 0.495283, "IDF1": 0.662461},
+    ("mot17_mini", "occluboost:cpp"): {"HOTA": 0.649804, "MOTA": 0.492925, "IDF1": 0.660348},
     ("synth_long", "bytetrack"): {"HOTA": 0.952785, "MOTA": 0.996300, "IDF1": 0.968698},
     ("synth_long", "ocsort"): {"HOTA": 0.885979, "MOTA": 0.933777, "IDF1": 0.935373},
     ("synth_long", "sfsort"): {"HOTA": 0.898791, "MOTA": 0.980762, "IDF1": 0.916468},
     ("synth_long", "botsort"): {"HOTA": 0.952210, "MOTA": 0.996670, "IDF1": 0.968877},
+    ("synth_long", "deepocsort"): {"HOTA": 0.885492, "MOTA": 0.932667, "IDF1": 0.934837},
+    ("synth_long", "strongsort"): {"HOTA": 0.861006, "MOTA": 0.910840, "IDF1": 0.853037},
+    ("synth_long", "boosttrack"): {"HOTA": 0.940187, "MOTA": 0.984832, "IDF1": 0.962756},
+    ("synth_long", "occluboost"): {"HOTA": 0.970771, "MOTA": 0.995930, "IDF1": 0.997963},
+    ("synth_long", "hybridsort"): {"HOTA": 0.851414, "MOTA": 0.892342, "IDF1": 0.882638},
+    ("synth_long", "sam2mot"): {"HOTA": 0.845008, "MOTA": 0.914909, "IDF1": 0.848808},
     ("synth_long", "bytetrack:cpp"): {"HOTA": 0.952785, "MOTA": 0.996300, "IDF1": 0.968698},
+    ("synth_long", "occluboost:cpp"): {"HOTA": 0.970771, "MOTA": 0.995930, "IDF1": 0.997963},
 }
 
 ROOTS = {"mot17_mini": MOT17_MINI, "synth_long": SYNTH_LONG}
@@ -67,10 +81,11 @@ def test_pinned_eval_metrics(root_name, tracker, tmp_path):
 
 def test_cpp_backend_matches_device_backend_exactly():
     """The pins above already encode it, but state the invariant
-    directly: the native core and the XLA program yield identical
+    directly: the native cores and the XLA programs yield identical
     metrics on both fixtures."""
     for root in ("mot17_mini", "synth_long"):
-        assert PINNED[(root, "bytetrack")] == PINNED[(root, "bytetrack:cpp")]
+        for trk in ("bytetrack", "occluboost"):
+            assert PINNED[(root, trk)] == PINNED[(root, f"{trk}:cpp")]
 
 
 @pytest.mark.slow

@@ -477,6 +477,26 @@ def write_parity_md(results: dict, out: Path) -> None:
         "`docs/artifacts/full_scale_parity.json`.  Reproduce:",
         "`python tools/full_scale_parity.py` (resumable per tracker).",
         "",
+        "## Residual divergence, explained",
+        "",
+        "Both sides are built from the SAME tuned YAML configs (the",
+        "reference through its own `tracker_zoo.create_tracker`, the repo",
+        "through `run_eval`'s config merge), replay identical cached",
+        "det/emb streams, and are scored by one metric stack — so any",
+        "non-zero delta is implementation behavior, not setup.  The one",
+        "remaining non-zero row (hybridsort) comes from near-tie",
+        "resolution in the first-pass FULL assignment: at MOT17 density",
+        "the tuned config's emb-dominated cost (EG weight 3.9, longterm",
+        "weight 2.0) produces multiple near-equal-cost pairings between",
+        "ghost tracks and orthogonal-embedding clutter, and the repo's",
+        "auction solver (optimal within n*eps, ops/lap.py) can pick a",
+        "different near-optimal perfect matching than lapjv.  Measured",
+        "impact: ~19 of 750 frames differ by one clutter row, moving",
+        "HOTA by <= 0.2 pp (repo above reference on FS-01).  The",
+        "divergence-bounds tier pins this class at 0.2 pp per tracker on",
+        "a 200x50 dense scene",
+        "(`tests/test_divergence_bounds.py::test_mot17_density_divergence_bounds`).",
+        "",
     ]
     out.write_text("\n".join(lines))
     print(f"wrote {out}")
