@@ -83,7 +83,12 @@ class FusedLiveTracker:
         std = jnp.asarray(IMAGENET_STD, jnp.float32)
 
         @tracker_jit
-        def _program(det_vars, reid_vars, state, frame_std, scale):
+        def _program(det_vars, reid_vars, state, frame_u8, scale):
+            # --- normalize on device: the host ships the uint8
+            # letterbox (4x smaller over the interconnect; the BGR flip
+            # + /255 + ImageNet standardize are elementwise and fuse
+            # into the first conv's input)
+            frame_std = (frame_u8[:, :, ::-1].astype(jnp.float32) / 255.0 - mean) / std
             # --- detect: forward + decode + NMS, all on device
             raw = det_model.apply(det_vars, frame_std[None])[0]
             boxes, obj, cls = yolox_decode(raw, img_hw=img_hw)
@@ -147,7 +152,7 @@ class FusedLiveTracker:
         stays on device and dispatch stays asynchronous (throughput mode;
         see docs/performance.md on tunnel dispatch poisoning).  Returns
         (out, out_mask) device arrays; slice on host when needed."""
-        padded, r = self.detector.preprocess(frame_bgr)
+        padded, r = self.detector.preprocess_u8(frame_bgr)
         reid_vars = self.reid.variables if self.reid is not None else {}
         self._state, out, mask = self._program(
             self.detector.variables,

@@ -201,7 +201,7 @@ def bench_fused(
     )
     rng = np.random.default_rng(0)
     frame = rng.integers(0, 255, (1080, 1920, 3)).astype(np.uint8)
-    padded, r = det.preprocess(frame)
+    padded, r = det.preprocess_u8(frame)
     dev_frame = jax.device_put(jnp.asarray(padded))
     scale = jnp.float32(r)
     reid_vars = reid.variables if reid is not None else {}
