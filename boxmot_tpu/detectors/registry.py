@@ -240,6 +240,18 @@ class YoloXDetector(BaseDetectorBackend):
             self.variables = self.model.init(
                 rng, jnp.zeros((1, *self.imgsz, 3), jnp.float32)
             )
+        if half:
+            # bf16 params + activations on the MXU (the reference's
+            # half=True FP16 tier, detectors/yolox.py:166); grid decode
+            # + NMS stay fp32 below.  Throughput option — box coords
+            # quantize at bf16's ~8-bit mantissa, so parity tests and
+            # cache generation keep the fp32 default.
+            self.variables = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.asarray(x).dtype == jnp.float32
+                else x,
+                self.variables,
+            )
 
         model = self.model
         img_hw = self.imgsz
@@ -247,7 +259,9 @@ class YoloXDetector(BaseDetectorBackend):
 
         @partial(jax.jit, static_argnames=())
         def _forward(variables, img, conf_thr, iou_thr):
-            raw = model.apply(variables, img[None])[0]
+            if half:
+                img = img.astype(jnp.bfloat16)
+            raw = model.apply(variables, img[None])[0].astype(jnp.float32)
             boxes, obj, cls = yolox_decode(raw, img_hw=img_hw)
             cls_conf = jnp.max(cls, axis=-1)
             cls_id = jnp.argmax(cls, axis=-1).astype(jnp.float32)

@@ -81,6 +81,8 @@ class FusedLiveTracker:
         cfg = self.cfg
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
         std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        det_half = bool(getattr(detector, "half", False))
+        reid_half = bool(getattr(reid, "half", False)) if reid is not None else False
 
         @tracker_jit
         def _program(det_vars, reid_vars, state, frame_u8, scale):
@@ -90,7 +92,10 @@ class FusedLiveTracker:
             # into the first conv's input)
             frame_std = (frame_u8[:, :, ::-1].astype(jnp.float32) / 255.0 - mean) / std
             # --- detect: forward + decode + NMS, all on device
-            raw = det_model.apply(det_vars, frame_std[None])[0]
+            # (bf16 forward when the detector was built half; decode/NMS
+            # stay fp32 either way)
+            det_in = frame_std.astype(jnp.bfloat16) if det_half else frame_std
+            raw = det_model.apply(det_vars, det_in[None])[0].astype(jnp.float32)
             boxes, obj, cls = yolox_decode(raw, img_hw=img_hw)
             cls_conf = jnp.max(cls, axis=-1)
             cls_id = jnp.argmax(cls, axis=-1).astype(jnp.float32)
@@ -121,6 +126,8 @@ class FusedLiveTracker:
                 rgb01 = frame_std * std + mean
                 crop_box = jnp.where(keep_mask[:, None], boxes_lb, unit)
                 crops = standardize(crop_resize_aabb(rgb01, crop_box, crop_hw))
+                if reid_half:
+                    crops = crops.astype(jnp.bfloat16)
                 feats = reid_model.apply(reid_vars, crops).astype(jnp.float32)
                 feats = feats / jnp.maximum(
                     jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12

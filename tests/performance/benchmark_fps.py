@@ -177,6 +177,7 @@ def bench_fused(
     variant: str = "yolox_x",
     reid_name: str | None = "osnet_x1_0",
     max_dets: int = 128,
+    half: bool = False,
 ):
     """End-to-end fused live step (engine/fused.py): YOLOX forward +
     decode + NMS + device crops + ReID embed + tracker step as ONE
@@ -190,12 +191,13 @@ def bench_fused(
     from boxmot_tpu.detectors.registry import YoloXDetector
     from boxmot_tpu.engine.fused import FusedLiveTracker
 
-    det = YoloXDetector(variant, imgsz=imgsz, num_classes=1, conf=0.05)
+    det = YoloXDetector(variant, imgsz=imgsz, num_classes=1, conf=0.05,
+                        half=half)
     reid = None
     if reid_name:
         from boxmot_tpu.reid.core import ReID
 
-        reid = ReID(model_name=reid_name)
+        reid = ReID(model_name=reid_name, half=half)
     fused = FusedLiveTracker(
         det, reid, tracker, {"use_cmc": False}, max_dets=max_dets
     )
@@ -243,6 +245,7 @@ def bench_fused_live(
     variant: str = "yolox_x",
     reid_name: str | None = "osnet_x1_0",
     max_dets: int = 128,
+    half: bool = False,
 ):
     """Realistic fused LIVE rate: distinct frames through
     FusedLiveTracker.update_async with `in_flight` results outstanding.
@@ -258,12 +261,13 @@ def bench_fused_live(
     from boxmot_tpu.detectors.registry import YoloXDetector
     from boxmot_tpu.engine.fused import FusedLiveTracker
 
-    det = YoloXDetector(variant, imgsz=imgsz, num_classes=1, conf=0.05)
+    det = YoloXDetector(variant, imgsz=imgsz, num_classes=1, conf=0.05,
+                        half=half)
     reid = None
     if reid_name:
         from boxmot_tpu.reid.core import ReID
 
-        reid = ReID(model_name=reid_name)
+        reid = ReID(model_name=reid_name, half=half)
     fused = FusedLiveTracker(
         det, reid, tracker, {"use_cmc": False}, max_dets=max_dets
     )
@@ -298,6 +302,9 @@ def main(argv=None):
     ap.add_argument("--counts", default=",".join(map(str, DEFAULT_COUNTS)))
     ap.add_argument("--frames", type=int, default=128)
     ap.add_argument("--modes", default="live,replay,cpp")
+    ap.add_argument("--half", action="store_true",
+                    help="bf16 detector+reid for the fused modes "
+                    "(throughput tier; box coords quantize at bf16)")
     ap.add_argument("--json", dest="json_path", default=None)
     args = ap.parse_args(argv)
 
@@ -332,12 +339,14 @@ def main(argv=None):
                         fps = fn(
                             trk, n_frames=args.frames, variant=variant,
                             reid_name=None if trk == "bytetrack" else reid_name,
+                            half=args.half,
                         )
                     except Exception as exc:
                         print(f"{fmode} {variant}+{trk}: FAILED {exc}")
                         continue
                     row = {
                         "tracker": trk, "mode": f"{fmode}[{variant}]",
+                        "half": bool(args.half),
                         "dets": 128, "fps": round(fps, 1),
                     }
                     rows.append(row)
