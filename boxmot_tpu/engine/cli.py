@@ -169,12 +169,15 @@ def eval(data, benchmark, split, tracker, output_dir, cache_root, detector, reid
 @click.option("--detector", default="public", show_default=True)
 @click.option("--reid-weights", default=None, help="ReID weights path or model name")
 @click.option("--preprocess", default="resize", show_default=True)
+@click.option("--frame-group", type=int, default=1, show_default=True,
+              help="batch this many frames' ReID crops into one device "
+              "program (sparse-scene throughput)")
 @click.option("--batch-size", type=int, default=0, show_default=True,
               help="ReID crop batch size (0 = whole frame at once)")
 @click.option("--auto-batch/--no-auto-batch", default=True, show_default=True,
               help="Halve the batch and retry on device OOM")
 def generate(data, cache_root, detector, reid_weights, preprocess,
-             batch_size, auto_batch):
+             frame_group, batch_size, auto_batch):
     """Generate detection / mask / embedding caches for a MOT split."""
     from boxmot_tpu.engine.generate import run_generate
 
@@ -219,6 +222,7 @@ def generate(data, cache_root, detector, reid_weights, preprocess,
             progress=wp.advance,
             batch_size=batch_size,
             auto_batch=auto_batch,
+            frame_group=frame_group,
         )
         wp.finish_step(rep.GENERATE)
     total = sum(s["dets"] for s in stats.values())

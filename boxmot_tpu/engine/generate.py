@@ -82,10 +82,17 @@ def _generate_dets(
 
 def _fill_embeddings(
     seq, dets_per_frame, epath, reid_model, frame_cache=True, progress=None,
-    batch_size: int = 0, auto_batch: bool = True,
+    batch_size: int = 0, auto_batch: bool = True, frame_group: int = 1,
 ):
     """Embedding cache aligned row-for-row with dets_per_frame (which may
-    come from det.txt or from an existing det cache)."""
+    come from det.txt or from an existing det cache).
+
+    ``frame_group > 1`` batches that many frames' crops into ONE device
+    program (`ReID.get_features_multi`) — sparse scenes then run at the
+    crop batch size the MXU wants and pay one dispatch per group
+    instead of per frame.  Per-crop math is identical; grouping only
+    changes batch packing.
+    """
     from boxmot_tpu.data.frame_cache import FrameCache
     from boxmot_tpu.utils.autobatch import AutoBatcher
 
@@ -101,6 +108,32 @@ def _fill_embeddings(
     batcher = AutoBatcher(batch_size, auto=auto_batch) if batch_size else None
     done_rows = ew.rows
     acc = 0
+
+    def _write(f, d, feats):
+        nonlocal acc, done_rows
+        start = max(done_rows - acc, 0)
+        rows = np.column_stack(
+            [np.full(len(d) - start, f + 1, np.float32), feats[start:]]
+        )
+        ew.append(rows)
+        acc += len(d)
+        done_rows = ew.rows
+        if progress is not None:
+            progress(seq.name, f + 1, len(dets_per_frame))
+
+    group: list[tuple[int, np.ndarray]] = []
+
+    def _flush_group():
+        if not group:
+            return
+        imgs = [read(seq.img_paths[f]) for f, _ in group]
+        feats_list = reid_model.get_features_multi(
+            [d[:, :4] for _, d in group], imgs
+        )
+        for (f, d), feats in zip(group, feats_list):
+            _write(f, d, feats)
+        group.clear()
+
     for f, d in enumerate(dets_per_frame):
         if len(d) == 0:
             continue
@@ -109,21 +142,24 @@ def _fill_embeddings(
             continue
         if f >= len(seq.img_paths):
             break
+        if (
+            frame_group > 1
+            and batcher is None
+            and hasattr(reid_model, "get_features_multi")
+            and done_rows <= acc  # group only fully-uncached frames
+        ):
+            group.append((f, d))
+            if len(group) >= frame_group:
+                _flush_group()
+            continue
         img = read(seq.img_paths[f])
         boxes = d[:, :4]
         if batcher is not None:
             feats = batcher.map(lambda b: reid_model.get_features(b, img), boxes)
         else:
             feats = reid_model.get_features(boxes, img)
-        if progress is not None:
-            progress(seq.name, f + 1, len(dets_per_frame))
-        start = max(done_rows - acc, 0)
-        rows = np.column_stack(
-            [np.full(len(d) - start, f + 1, np.float32), feats[start:]]
-        )
-        ew.append(rows)
-        acc += len(d)
-        done_rows = ew.rows
+        _write(f, d, feats)
+    _flush_group()
     ew.close()
     if cache is not None:
         cache.clear()
@@ -170,6 +206,7 @@ def run_generate(
     progress=None,
     batch_size: int = 0,
     auto_batch: bool = True,
+    frame_group: int = 1,
     cmc_method: str | None = None,
 ) -> dict:
     """Generate det / mask / emb caches for every sequence.
@@ -183,6 +220,8 @@ def run_generate(
       re-detecting (reference cache.py:1024).
     * ``batch_size``/``auto_batch``: ReID crop batching with OOM backoff
       (reference inference.py:332-388); 0 = one call per frame.
+    * ``frame_group``: >1 batches that many frames' crops into one
+      device program (sparse-scene throughput; see _fill_embeddings).
 
     Returns {seq_name: {"dets": n_rows, "embs": n_rows, "masks": n_rows}}.
     """
@@ -241,6 +280,7 @@ def run_generate(
                 seq, dets_per_frame, epath, reid_model,
                 frame_cache=frame_cache, progress=progress,
                 batch_size=batch_size, auto_batch=auto_batch,
+                frame_group=frame_group,
             )
         if cmc_method:
             from boxmot_tpu.data.cache import warp_cache_path

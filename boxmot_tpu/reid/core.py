@@ -173,6 +173,81 @@ class ReID:
 
         self._forward = _forward
 
+        @partial(jax.jit, static_argnames=("is_obb",))
+        def _forward_multi(variables, imgs_bgr, boxes, valid, is_obb=False):
+            # (G, H, W, 3) frames, (G, B, 4|5) boxes, (G, B) valid:
+            # crops from every frame share ONE backbone forward, so
+            # sparse scenes (10-30 dets/frame) run at the batch size the
+            # MXU wants and the per-call dispatch/transfer overhead is
+            # amortized G-fold (docs/artifacts/reid_roofline.md).
+            def crops_of(img, bx):
+                return extract_crops(
+                    img[..., ::-1], bx, out_hw=crop, is_obb=is_obb
+                )
+
+            crops = jax.vmap(crops_of)(imgs_bgr, boxes)  # (G, B, h, w, 3)
+            G, B = crops.shape[0], crops.shape[1]
+            flat = crops.reshape((G * B, *crops.shape[2:]))
+            if half:
+                flat = flat.astype(jnp.bfloat16)
+            feats = model.apply(variables, flat).astype(jnp.float32)
+            feats = feats / jnp.maximum(
+                jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12
+            )
+            feats = feats.reshape((G, B, -1))
+            return jnp.where(valid[..., None], feats, 0.0)
+
+        self._forward_multi = _forward_multi
+
+    def get_features_multi(self, boxes_per_frame, imgs):
+        """Embeddings for several frames in ONE device program.
+
+        Args:
+            boxes_per_frame: list of (Ni, 4) xyxy (or (Ni, 5) xywha)
+                arrays, one per frame.
+            imgs: list of same-shape HxWx3 uint8 frames.
+
+        Returns a list of (Ni, F) float32 arrays.  Per-crop math is
+        identical to :meth:`get_features`; only the batch packing
+        differs.
+        """
+        assert len(boxes_per_frame) == len(imgs)
+        G = len(imgs)
+        if G == 0:
+            return []
+        if G == 1:
+            return [self.get_features(boxes_per_frame[0], imgs[0])]
+        arrs = []
+        for b in boxes_per_frame:
+            a = np.asarray(b, np.float32)
+            arrs.append(a.reshape(0, 4) if a.size == 0 else a.reshape(len(a), -1))
+        cols = max((a.shape[1] for a in arrs if a.size), default=4)
+        cols = 5 if cols >= 5 else 4
+        is_obb = cols == 5
+        n_max = max((len(a) for a in arrs), default=0)
+        if n_max == 0:
+            return [np.zeros((0, self.feature_dim), np.float32) for _ in arrs]
+        B = _crop_bucket(min(n_max, CROP_BUCKETS[-1]))
+        if n_max > CROP_BUCKETS[-1]:
+            # oversized frames fall back to the single-frame chunker
+            return [self.get_features(b, i) for b, i in zip(boxes_per_frame, imgs)]
+        boxes = np.zeros((G, B, cols), np.float32)
+        boxes[:, :, 2:4] = 1.0
+        valid = np.zeros((G, B), bool)
+        for g, a in enumerate(arrs):
+            c = min(cols, a.shape[1]) if a.size else cols
+            boxes[g, : len(a), :c] = a[:, :c]
+            valid[g, : len(a)] = True
+        feats = self._forward_multi(
+            self.variables,
+            jnp.asarray(np.stack(imgs)),
+            jnp.asarray(boxes),
+            jnp.asarray(valid),
+            is_obb=is_obb,
+        )
+        out = np.asarray(feats)
+        return [out[g, : len(a)] for g, a in enumerate(arrs)]
+
     def get_features(self, xyxys: np.ndarray, img: np.ndarray) -> np.ndarray:
         """(N, 4) xyxy or (N, 5) xywha boxes + HxWx3 uint8 frame ->
         (N, F) embeddings.  Rotated boxes yield rotation-rectified crops

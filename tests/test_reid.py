@@ -317,3 +317,79 @@ class TestReIDFacade:
 
         with pytest.raises(ValueError, match="no checkpoint converter"):
             convert_checkpoint({}, "resnet50")
+
+
+class TestMultiFrameBatching:
+    """get_features_multi: several frames' crops in one device program
+    (engine/generate.py frame_group; per-crop math identical)."""
+
+    def test_matches_single_frame_path(self):
+        import numpy as np
+
+        from boxmot_tpu.reid.core import ReID
+
+        r = ReID(model_name="osnet_x0_25")
+        rng = np.random.default_rng(3)
+        imgs = [rng.integers(0, 255, (240, 320, 3), np.uint8) for _ in range(3)]
+        boxes = []
+        for n in (4, 1, 6):
+            b = rng.uniform(0, 200, (n, 4)).astype(np.float32)
+            b[:, 2:] = b[:, :2] + 50
+            boxes.append(b)
+        multi = r.get_features_multi(boxes, imgs)
+        for m, (b, i) in zip(multi, zip(boxes, imgs)):
+            s = r.get_features(b, i)
+            assert m.shape == s.shape
+            cos = (m * s).sum(-1)
+            assert cos.min() > 0.999, cos.min()
+
+    def test_empty_and_single_frame_edges(self):
+        import numpy as np
+
+        from boxmot_tpu.reid.core import ReID
+
+        r = ReID(model_name="osnet_x0_25")
+        img = np.zeros((120, 160, 3), np.uint8)
+        out = r.get_features_multi([np.zeros((0, 4), np.float32)], [img])
+        assert len(out) == 1 and out[0].shape == (0, r.feature_dim)
+        assert r.get_features_multi([], []) == []
+
+    def test_generate_frame_group_cache_matches(self, tmp_path):
+        """The emb cache written with frame_group=4 matches the
+        per-frame cache row-for-row."""
+        import numpy as np
+
+        from boxmot_tpu.engine.generate import _fill_embeddings
+        from boxmot_tpu.reid.core import ReID
+
+        class _Seq:
+            name = "S"
+            img_paths = [f"f{i}.npy" for i in range(6)]
+            seq_length = 6
+
+        rng = np.random.default_rng(5)
+        frames = {p: rng.integers(0, 255, (120, 160, 3), np.uint8)
+                  for p in _Seq.img_paths}
+        dets = []
+        for i in range(6):
+            n = [3, 0, 2, 5, 1, 4][i]
+            b = rng.uniform(0, 100, (n, 6)).astype(np.float32)
+            b[:, 2:4] = b[:, :2] + 30
+            dets.append(b)
+        import boxmot_tpu.engine.generate as gen
+        orig = gen.load_frame
+        gen.load_frame = lambda p: frames[str(p)]
+        try:
+            r = ReID(model_name="osnet_x0_25")
+            p1 = tmp_path / "a.npy"
+            p2 = tmp_path / "b.npy"
+            _fill_embeddings(_Seq, dets, p1, r, frame_cache=False)
+            _fill_embeddings(_Seq, dets, p2, r, frame_cache=False,
+                             frame_group=4)
+            a, b = np.load(p1), np.load(p2)
+            assert a.shape == b.shape
+            np.testing.assert_array_equal(a[:, 0], b[:, 0])  # frame col
+            cos = (a[:, 1:] * b[:, 1:]).sum(-1)
+            assert cos.min() > 0.999, cos.min()
+        finally:
+            gen.load_frame = orig
