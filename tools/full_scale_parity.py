@@ -460,13 +460,14 @@ def write_parity_md(results: dict, out: Path) -> None:
         "(`docs/artifacts/cache_download_attempt.md`); this is the offline",
         "full-scale evidence the caches would otherwise provide.",
         "",
-        "| tracker | HOTA repo | HOTA ref | dHOTA | MOTA repo | MOTA ref | dMOTA | IDF1 repo | IDF1 ref | dIDF1 |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "| tracker | sequences | HOTA repo | HOTA ref | dHOTA | MOTA repo | MOTA ref | dMOTA | IDF1 repo | IDF1 ref | dIDF1 |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, r in sorted(results.items()):
         repo, ref, d = r["repo"], r["reference"], r["delta"]
+        seqs = ",".join(r.get("sequences") or ["?"])
         lines.append(
-            f"| {name} "
+            f"| {name} | {seqs} "
             f"| {100 * repo['HOTA']:.3f} | {100 * ref['HOTA']:.3f} | {100 * d['HOTA']:+.3f} "
             f"| {100 * repo['MOTA']:.3f} | {100 * ref['MOTA']:.3f} | {100 * d['MOTA']:+.3f} "
             f"| {100 * repo['IDF1']:.3f} | {100 * ref['IDF1']:.3f} | {100 * d['IDF1']:+.3f} |"
